@@ -1,0 +1,109 @@
+"""Detector shell: backbone + Mask2Former open head (+ caption generator).
+
+TPU-native equivalent of the reference's ``Mask2FormerOpen`` /
+``MaskFormerOpen`` detector (open_set/models/mask2former.py:7-27,
+maskformer.py:15-382). Functional design: the module computes raw
+per-layer predictions; train/test orchestration (losses, fusion
+post-processing, beam search) lives in :mod:`..losses.criterion`,
+:mod:`..engine` and :mod:`..evaluation.inference` as pure functions over
+the module outputs, so one jitted step covers the whole pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..config import Config
+from .caption_transformer import CaptionTransformer
+from .mask2former_head import Mask2FormerHeadOpen
+from .resnet import ResNet
+
+Dtype = Any
+
+
+class Mask2FormerOpen(nn.Module):
+    """Flagship model (reference configs/instance/coco_b48n17.py)."""
+
+    num_classes: int = 48
+    num_queries: int = 100
+    feat_channels: int = 256
+    emb_dim: int = 768
+    num_decoder_layers: int = 9
+    backbone_depth: int = 50
+    use_class_emb: bool = True
+    use_caption_generation: bool = True
+    pred_emb_norm: bool = False
+    vocab_size: int = 30522
+    max_caption_len: int = 35
+    use_pallas: bool = False
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.backbone = ResNet(
+            depth=self.backbone_depth, dtype=self.dtype, name="backbone"
+        )
+        self.head = Mask2FormerHeadOpen(
+            num_classes=self.num_classes,
+            num_queries=self.num_queries,
+            feat_channels=self.feat_channels,
+            emb_dim=self.emb_dim,
+            num_decoder_layers=self.num_decoder_layers,
+            use_class_emb=self.use_class_emb,
+            pred_emb_norm=self.pred_emb_norm,
+            use_pallas=self.use_pallas,
+            dtype=self.dtype,
+            name="head",
+        )
+        if self.use_caption_generation:
+            self.caption_generator = CaptionTransformer(
+                vocab_size=self.vocab_size,
+                seq_length=self.max_caption_len,
+                dtype=self.dtype,
+                name="caption_generator",
+            )
+
+    def __call__(self, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """images: (B, H, W, 3) normalized NHWC. Returns stacked per-layer
+        head outputs (see Mask2FormerHeadOpen.__call__)."""
+        feats = self.backbone(images)
+        return self.head(feats)
+
+    def caption_forward(
+        self,
+        tgt_embs: jnp.ndarray,
+        memory: jnp.ndarray,
+        tgt_key_padding_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ):
+        """Caption decoder pass (training teacher-forcing or beam step)."""
+        return self.caption_generator(
+            tgt_embs, memory, tgt_key_padding_mask, deterministic
+        )
+
+    def caption_logits_all_layers(self, all_hidden: jnp.ndarray) -> jnp.ndarray:
+        """Average generator logits across the 4 decoder layers (reference
+        beam search, open_set/utils/eval/inference.py:91-113)."""
+        logits = self.caption_generator.generate(all_hidden)  # (L, B, T, V)
+        return logits.mean(axis=0)
+
+
+def build_detector(model_cfg: Config, dtype=jnp.float32) -> Mask2FormerOpen:
+    """Build from a config dict (configs/ tree)."""
+    return Mask2FormerOpen(
+        num_classes=model_cfg.get("num_classes", 48),
+        num_queries=model_cfg.get("num_queries", 100),
+        feat_channels=model_cfg.get("feat_channels", 256),
+        emb_dim=model_cfg.get("emb_dim", 768),
+        num_decoder_layers=model_cfg.get("num_decoder_layers", 9),
+        backbone_depth=model_cfg.get("backbone_depth", 50),
+        use_class_emb=model_cfg.get("use_class_emb", True),
+        use_caption_generation=model_cfg.get("use_caption_generation", True),
+        pred_emb_norm=model_cfg.get("pred_emb_norm", False),
+        vocab_size=model_cfg.get("vocab_size", 30522),
+        max_caption_len=model_cfg.get("max_caption_len", 35),
+        use_pallas=model_cfg.get("use_pallas", False),
+        dtype=dtype,
+    )

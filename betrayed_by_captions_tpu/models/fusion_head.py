@@ -1,0 +1,213 @@
+"""Fusion head: embedding-similarity classification + instance/panoptic
+post-processing (fully vectorized, jittable).
+
+TPU-native equivalent of the reference ``MaskFormerFusionHeadOpen``
+(open_set/models/maskformer_fusion_head.py:16-465). Differences by design:
+
+- the reference's per-query Python loops over panoptic segments
+  (:118-160) are replaced by vectorized mask algebra: the argmax over
+  probability masks makes per-query pixel sets disjoint, so thing/stuff
+  pasting reduces to masked sums — no sequential loop, no host sync,
+- results are fixed-size (top ``max_per_image`` instances with a validity
+  score) instead of ragged lists; host-side eval code filters by score.
+
+Per-bank classification: ``softmax(query_emb @ bank^T)`` with the trailing
+zero background row dropped from scores
+(reference get_cls_emb_scores :297-315, instance_postprocess_emb :317-366).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.masks import mask2bbox
+
+INSTANCE_OFFSET = 1000000  # mmdet INSTANCE_OFFSET (1e6)
+
+
+class InstanceResults(NamedTuple):
+    labels: jnp.ndarray  # (max_per_image,) int32 bank label index
+    scores: jnp.ndarray  # (max_per_image,) float32 det score
+    boxes: jnp.ndarray  # (max_per_image, 4) xyxy
+    masks: jnp.ndarray  # (max_per_image, H, W) bool
+
+
+def get_cls_emb_scores(cls_emb: jnp.ndarray, bank: jnp.ndarray) -> jnp.ndarray:
+    """softmax(query_emb @ bank^T): (Q, num_bank_classes+1)."""
+    logits = jnp.matmul(cls_emb.astype(jnp.float32), bank.T.astype(jnp.float32))
+    return jax.nn.softmax(logits, axis=-1)
+
+
+def instance_postprocess_emb(
+    cls_emb: jnp.ndarray,  # (Q, d)
+    mask_pred: jnp.ndarray,  # (Q, H, W) logits
+    bank: jnp.ndarray,  # (C+1, d), trailing zero background row
+    max_per_image: int = 100,
+) -> InstanceResults:
+    """Open-vocabulary instance post-processing for one image."""
+    q = cls_emb.shape[0]
+    scores_full = get_cls_emb_scores(cls_emb, bank)  # (Q, C+1)
+    scores = scores_full[:, :-1]  # drop background
+    num_cls = scores.shape[-1]
+
+    flat_scores = scores.reshape(-1)  # (Q*C,)
+    k = min(max_per_image, flat_scores.shape[0])
+    top_scores, top_idx = jax.lax.top_k(flat_scores, k)
+    labels = (top_idx % num_cls).astype(jnp.int32)
+    query_idx = top_idx // num_cls
+
+    masks = jnp.take(mask_pred, query_idx, axis=0)  # (k, H, W)
+    masks_binary = masks > 0
+    mask_prob = jax.nn.sigmoid(masks)
+    pos = masks_binary.astype(jnp.float32)
+    mask_scores = (mask_prob * pos).sum(axis=(1, 2)) / (pos.sum(axis=(1, 2)) + 1e-6)
+    det_scores = top_scores * mask_scores
+    boxes = mask2bbox(masks_binary)
+
+    if k < max_per_image:  # pad to the static contract
+        pad = max_per_image - k
+        labels = jnp.pad(labels, (0, pad))
+        det_scores = jnp.pad(det_scores, (0, pad))
+        boxes = jnp.pad(boxes, ((0, pad), (0, 0)))
+        masks_binary = jnp.pad(masks_binary, ((0, pad), (0, 0), (0, 0)))
+    return InstanceResults(labels, det_scores, boxes, masks_binary)
+
+
+def panoptic_postprocess_emb(
+    cls_emb: jnp.ndarray,  # (Q, d)
+    mask_pred: jnp.ndarray,  # (Q, H, W) logits
+    bank: jnp.ndarray,  # (C+1, d)
+    num_things_classes: int,
+    object_mask_thr: float = 0.8,
+    iou_thr: float = 0.8,
+    filter_low_score: bool = True,
+    stuff_area_limit: int = 4096,
+) -> jnp.ndarray:
+    """Open-set panoptic post-processing for one image.
+
+    Returns (H, W) int32 panoptic map: ``label + instance_id * 1e6`` for
+    things, bare label for stuff, ``num_bank_classes`` for void.
+    """
+    q, h, w = mask_pred.shape
+    scores_full = get_cls_emb_scores(cls_emb, bank)  # (Q, C+1)
+    num_classes = scores_full.shape[-1] - 1
+    scores = scores_full.max(axis=-1)
+    labels = scores_full.argmax(axis=-1).astype(jnp.int32)
+    probs = jax.nn.sigmoid(mask_pred)
+
+    keep = (labels != num_classes) & (scores > object_mask_thr)  # (Q,)
+    # invalid queries get -inf prob so they never win the argmax
+    weighted = jnp.where(
+        keep[:, None, None], scores[:, None, None] * probs, -1.0
+    )
+    winner = jnp.argmax(weighted, axis=0)  # (H, W) query index
+    any_valid = jnp.any(keep)
+
+    onehot = winner[None, :, :] == jnp.arange(q)[:, None, None]  # (Q, H, W)
+    seg_mask = onehot & keep[:, None, None]
+    if filter_low_score:
+        seg_mask = seg_mask & (probs >= 0.5)
+
+    mask_area = seg_mask.sum(axis=(1, 2))
+    original_area = (probs >= 0.5).sum(axis=(1, 2))
+    seg_keep = (
+        keep
+        & (mask_area > 0)
+        & (original_area > 0)
+        & (mask_area >= iou_thr * original_area)
+    )
+
+    is_thing = labels < num_things_classes
+    thing_keep = seg_keep & is_thing
+    stuff_keep = seg_keep & (~is_thing) & (mask_area >= stuff_area_limit)
+
+    # instance ids follow query order among kept things (reference :123-152)
+    instance_id = jnp.cumsum(thing_keep.astype(jnp.int32))  # 1-based at kept
+    seg_value = jnp.where(
+        thing_keep,
+        labels + instance_id * INSTANCE_OFFSET,
+        jnp.where(stuff_keep, labels, 0),
+    ).astype(jnp.int32)
+
+    write = seg_mask & (thing_keep | stuff_keep)[:, None, None]
+    # per-pixel masks are disjoint (argmax), so a masked sum implements
+    # the reference's sequential pasting exactly
+    panoptic = (write.astype(jnp.int32) * seg_value[:, None, None]).sum(axis=0)
+    background = jnp.int32(num_classes)
+    panoptic = jnp.where(write.any(axis=0), panoptic, background)
+    return jnp.where(any_valid, panoptic, jnp.full((h, w), background, jnp.int32))
+
+
+def simple_test_fusion(
+    cls_emb_results: jnp.ndarray,  # (B, Q, d)
+    mask_pred_results: jnp.ndarray,  # (B, Q, H, W)
+    banks: Dict[str, jnp.ndarray],
+    eval_types: Tuple[str, ...] = ("all_results", "novel_results", "base_results"),
+    max_per_image: int = 100,
+    panoptic_mode: bool = False,
+    num_things_classes: int = 65,
+    **panoptic_kwargs,
+) -> Dict[str, Any]:
+    """Batched fusion over requested eval types (reference simple_test,
+    maskformer_fusion_head.py:369-464). Cropping/rescaling to original
+    image sizes happens on host (evaluation/inference.py)."""
+    out: Dict[str, Any] = {}
+    for eval_type in eval_types:
+        bank_key = eval_type.split("_")[0]  # all / novel / base
+        bank = banks[bank_key]
+        if eval_type == "all_results" and panoptic_mode:
+            out["panoptic_all_results"] = jax.vmap(
+                lambda e, m: panoptic_postprocess_emb(
+                    e, m, bank, num_things_classes, **panoptic_kwargs
+                )
+            )(cls_emb_results, mask_pred_results)
+        else:
+            out[eval_type] = jax.vmap(
+                lambda e, m, _bank=bank: instance_postprocess_emb(
+                    e, m, _bank, max_per_image
+                )
+            )(cls_emb_results, mask_pred_results)
+    return out
+
+
+class FusionHeadOpen:
+    """Thin object wrapper bundling banks + test-time config."""
+
+    def __init__(
+        self,
+        banks: Dict[str, jnp.ndarray],
+        num_things_classes: int,
+        eval_types=("all_results", "novel_results", "base_results"),
+        max_per_image: int = 100,
+        panoptic_mode: bool = False,
+        object_mask_thr: float = 0.8,
+        iou_thr: float = 0.8,
+        filter_low_score: bool = True,
+        stuff_area_limit: int = 4096,
+    ):
+        self.banks = banks
+        self.num_things_classes = num_things_classes
+        self.eval_types = tuple(eval_types)
+        self.max_per_image = max_per_image
+        self.panoptic_mode = panoptic_mode
+        self.panoptic_kwargs = dict(
+            object_mask_thr=object_mask_thr,
+            iou_thr=iou_thr,
+            filter_low_score=filter_low_score,
+            stuff_area_limit=stuff_area_limit,
+        )
+
+    def __call__(self, cls_emb_results, mask_pred_results):
+        return simple_test_fusion(
+            cls_emb_results,
+            mask_pred_results,
+            self.banks,
+            eval_types=self.eval_types,
+            max_per_image=self.max_per_image,
+            panoptic_mode=self.panoptic_mode,
+            num_things_classes=self.num_things_classes,
+            **self.panoptic_kwargs,
+        )

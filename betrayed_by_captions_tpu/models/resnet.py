@@ -1,0 +1,124 @@
+"""ResNet backbone (torch 'pytorch'-style bottleneck, frozen-BN, NHWC).
+
+TPU-native equivalent of the reference backbone (mmdet ResNet depth=50,
+out_indices (0,1,2,3), frozen_stages=3, BN frozen;
+configs/instance/coco_b48n17.py:18-27). Design differences from the torch
+original, chosen for TPU:
+
+- NHWC layout throughout (XLA's preferred conv layout),
+- frozen BN folded into a fused multiply-add (no batch stats ever),
+- params are fp32, compute dtype configurable (bf16 on TPU),
+- "frozen_stages" is enforced by the optimizer mask
+  (engine/optim.py), not by module state.
+
+Checkpoint porting from torchvision/mmdet state dicts transposes conv
+kernels OIHW→HWIO (engine/porting.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .common import FrozenBatchNorm
+
+Dtype = Any
+
+_STAGE_BLOCKS = {
+    50: (3, 4, 6, 3),
+    101: (3, 4, 23, 3),
+}
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3(stride) -> 1x1(x4) bottleneck, 'pytorch' style (stride on
+    the 3x3 conv)."""
+
+    mid_features: int
+    stride: int = 1
+    has_downsample: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        out_features = self.mid_features * 4
+        identity = x
+        y = nn.Conv(
+            self.mid_features, (1, 1), use_bias=False, dtype=self.dtype, name="conv1"
+        )(x)
+        y = FrozenBatchNorm(self.mid_features, dtype=self.dtype, name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(
+            self.mid_features,
+            (3, 3),
+            strides=(self.stride, self.stride),
+            padding=[(1, 1), (1, 1)],
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv2",
+        )(y)
+        y = FrozenBatchNorm(self.mid_features, dtype=self.dtype, name="bn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(
+            out_features, (1, 1), use_bias=False, dtype=self.dtype, name="conv3"
+        )(y)
+        y = FrozenBatchNorm(out_features, dtype=self.dtype, name="bn3")(y)
+        if self.has_downsample:
+            identity = nn.Conv(
+                out_features,
+                (1, 1),
+                strides=(self.stride, self.stride),
+                use_bias=False,
+                dtype=self.dtype,
+                name="downsample_conv",
+            )(x)
+            identity = FrozenBatchNorm(
+                out_features, dtype=self.dtype, name="downsample_bn"
+            )(identity)
+        return nn.relu(y + identity)
+
+
+class ResNet(nn.Module):
+    """ResNet-50/101 returning the four stage outputs (C2..C5, NHWC)."""
+
+    depth: int = 50
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+        blocks = _STAGE_BLOCKS[self.depth]
+        x = x.astype(self.dtype)
+        x = nn.Conv(
+            64,
+            (7, 7),
+            strides=(2, 2),
+            padding=[(3, 3), (3, 3)],
+            use_bias=False,
+            dtype=self.dtype,
+            name="stem_conv",
+        )(x)
+        x = FrozenBatchNorm(64, dtype=self.dtype, name="stem_bn")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(
+            x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
+        )
+
+        outs = []
+        mid = 64
+        for stage_idx, num_blocks in enumerate(blocks):
+            stride = 1 if stage_idx == 0 else 2
+            for block_idx in range(num_blocks):
+                x = Bottleneck(
+                    mid_features=mid,
+                    stride=stride if block_idx == 0 else 1,
+                    has_downsample=(block_idx == 0),
+                    dtype=self.dtype,
+                    name=f"layer{stage_idx + 1}_block{block_idx}",
+                )(x)
+            if stage_idx in self.out_indices:
+                outs.append(x)
+            mid *= 2
+        return tuple(outs)

@@ -1,0 +1,135 @@
+"""Shape/jit tests for the model stack (SURVEY.md §4 test strategy)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from betrayed_by_captions_tpu.models import (
+    CaptionTransformer,
+    Mask2FormerOpen,
+    ResNet,
+)
+from betrayed_by_captions_tpu.models.fusion_head import (
+    instance_postprocess_emb,
+    panoptic_postprocess_emb,
+)
+
+
+class TestResNet:
+    def test_output_shapes(self):
+        model = ResNet(depth=50)
+        x = jnp.zeros((1, 64, 64, 3))
+        params = model.init(jax.random.PRNGKey(0), x)
+        outs = model.apply(params, x)
+        assert [o.shape for o in outs] == [
+            (1, 16, 16, 256),
+            (1, 8, 8, 512),
+            (1, 4, 4, 1024),
+            (1, 2, 2, 2048),
+        ]
+
+
+class TestDetector:
+    @pytest.fixture(scope="class")
+    def model_and_params(self):
+        model = Mask2FormerOpen(
+            num_classes=5,
+            num_queries=8,
+            feat_channels=32,
+            emb_dim=16,
+            num_decoder_layers=3,
+            use_caption_generation=False,
+        )
+        x = jnp.zeros((2, 64, 96, 3))
+        params = model.init(jax.random.PRNGKey(0), x)
+        return model, params, x
+
+    def test_forward_shapes(self, model_and_params):
+        model, params, x = model_and_params
+        out = jax.jit(lambda p, im: model.apply(p, im))(params, x)
+        # 3 decoder layers + initial head = 4 outputs
+        assert out["cls_scores"].shape == (4, 2, 8, 6)
+        assert out["cls_emb_preds"].shape == (4, 2, 8, 16)
+        assert out["mask_preds"].shape == (4, 2, 8, 16, 24)  # stride 4
+
+    def test_outputs_finite(self, model_and_params):
+        model, params, x = model_and_params
+        key = jax.random.PRNGKey(1)
+        img = jax.random.normal(key, x.shape)
+        out = model.apply(params, img)
+        for v in out.values():
+            assert np.isfinite(np.asarray(v)).all()
+
+
+class TestCaptionTransformer:
+    def test_forward_and_layer_logits(self):
+        model = CaptionTransformer(
+            num_layers=2, hidden_dim=16, input_dim=16, ff_dim=8,
+            num_heads=2, seq_length=10, vocab_size=50,
+        )
+        tgt = jnp.zeros((2, 7, 16))
+        mem = jnp.zeros((2, 4, 16))
+        params = model.init(jax.random.PRNGKey(0), tgt, mem)
+        hidden, logits = model.apply(params, tgt, mem)
+        assert hidden.shape == (2, 2, 7, 16)
+        assert logits.shape == (2, 7, 50)
+        all_logits = model.apply(params, hidden, method="generate")
+        assert all_logits.shape == (2, 2, 7, 50)
+
+    def test_causal(self):
+        """Output at position t must not depend on tokens after t."""
+        model = CaptionTransformer(
+            num_layers=1, hidden_dim=8, input_dim=8, ff_dim=8,
+            num_heads=2, seq_length=6, vocab_size=11,
+        )
+        rng = jax.random.PRNGKey(0)
+        tgt = jax.random.normal(rng, (1, 5, 8))
+        mem = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 8))
+        params = model.init(rng, tgt, mem)
+        _, logits_a = model.apply(params, tgt, mem)
+        tgt_b = tgt.at[:, 3:, :].set(99.0)  # perturb the future
+        _, logits_b = model.apply(params, tgt_b, mem)
+        np.testing.assert_allclose(
+            np.asarray(logits_a[:, :3]), np.asarray(logits_b[:, :3]), atol=1e-5
+        )
+
+
+class TestFusionHead:
+    def test_instance_postprocess(self, rng):
+        q, d, h, w = 6, 8, 16, 16
+        emb = jnp.asarray(rng.randn(q, d).astype(np.float32))
+        masks = jnp.asarray(rng.randn(q, h, w).astype(np.float32) * 4)
+        bank = jnp.asarray(
+            np.vstack([rng.randn(3, d), np.zeros((1, d))]).astype(np.float32)
+        )
+        res = instance_postprocess_emb(emb, masks, bank, max_per_image=10)
+        assert res.labels.shape == (10,)
+        assert res.scores.shape == (10,)
+        assert res.boxes.shape == (10, 4)
+        assert res.masks.shape == (10, h, w)
+        assert (np.asarray(res.labels) < 3).all()
+        s = np.asarray(res.scores)
+        assert (s >= 0).all() and (s <= 1).all()
+
+    def test_panoptic_postprocess(self, rng):
+        q, d, h, w = 5, 8, 24, 24
+        emb = rng.randn(q, d).astype(np.float32) * 3
+        bank = np.vstack([rng.randn(4, d) * 3, np.zeros((1, d))]).astype(np.float32)
+        # construct confident disjoint masks
+        masks = np.full((q, h, w), -10.0, np.float32)
+        masks[0, :12, :] = 10.0
+        masks[1, 12:, :] = 10.0
+        pan = panoptic_postprocess_emb(
+            jnp.asarray(emb),
+            jnp.asarray(masks),
+            jnp.asarray(bank),
+            num_things_classes=2,
+            object_mask_thr=0.0,
+            stuff_area_limit=10,
+        )
+        pan = np.asarray(pan)
+        assert pan.shape == (h, w)
+        assert set(np.unique(pan)) <= set(range(0, 4)) | {4} | set(
+            (np.arange(1, q + 1)[:, None] * 1000000 + np.arange(4)[None]).ravel()
+        )
