@@ -1,0 +1,95 @@
+"""Benchmark: COCO-val-style inference throughput on one TPU chip.
+
+Measures end-to-end per-image inference of the flagship Mask2Former-Open
+R50 (bf16 compute): backbone -> pixel decoder (6-layer deformable encoder)
+-> 9-layer masked-attention decoder -> mask upsample to the padded input
+-> open-vocabulary instance post-processing, at the reference's test
+resolution (1333x800 keep-ratio -> 800x1344 padded bucket;
+/root/reference/configs/instance/coco_b48n17.py test_pipeline).
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md).
+``A100_BASELINE_IPS`` is an estimate for the reference implementation on
+A100: mmdet's Mask2Former-R50 model zoo reports ~9.7 fps on V100 for this
+architecture at the same resolution; A100 is ~2x V100 on this workload.
+``vs_baseline`` = measured images/sec/chip / this estimate.
+
+Prints exactly ONE JSON line.
+"""
+
+import json
+import time
+
+A100_BASELINE_IPS = 19.4  # est.: mmdet Mask2Former-R50 V100 ~9.7 fps x2
+
+BATCH = 4
+HW = (800, 1344)
+WARMUP = 3
+ITERS = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from betrayed_by_captions_tpu.engine.train_step import make_eval_step
+    from betrayed_by_captions_tpu.models.class_banks import (
+        asset_path,
+        load_class_banks,
+    )
+    from betrayed_by_captions_tpu.models.detector import Mask2FormerOpen
+    from betrayed_by_captions_tpu.models.fusion_head import instance_postprocess_emb
+
+    banks = load_class_banks(
+        asset_path("embeddings", "coco_class_with_bert_emb.json"),
+        known_file=asset_path("splits", "known_65.txt"),
+        unknown_file=asset_path("splits", "unknown_17.txt"),
+    )
+
+    model = Mask2FormerOpen(
+        num_classes=banks.num_base,
+        num_queries=100,
+        feat_channels=256,
+        emb_dim=768,
+        num_decoder_layers=9,
+        use_caption_generation=False,
+        dtype=jnp.bfloat16,
+    )
+    images = jnp.zeros((BATCH, HW[0], HW[1], 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), images[:1])["params"]
+    eval_step = make_eval_step(model)
+    all_bank = jnp.asarray(banks.all_bank)
+
+    @jax.jit
+    def full_inference(params, images):
+        out = eval_step(params, images)
+        res = jax.vmap(
+            lambda e, m: instance_postprocess_emb(e, m, all_bank, 100)
+        )(out["cls_emb_preds"], out["mask_preds"])
+        return res.labels, res.scores, res.boxes, res.masks.sum(axis=(1, 2, 3))
+
+    # warmup / compile
+    for _ in range(WARMUP):
+        r = full_inference(params, images)
+        jax.block_until_ready(r)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        r = full_inference(params, images)
+        jax.block_until_ready(r)
+    dt = time.perf_counter() - t0
+
+    ips = BATCH * ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "coco_val_inference_throughput",
+                "value": round(ips, 3),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(ips / A100_BASELINE_IPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,373 @@
+"""Training criterion: on-device target assignment + all CGG losses,
+batched over images AND decoder layers.
+
+TPU-native re-design of the reference's loss stack
+(open_set/models/mask2former_head.py:273-629). Key differences, by design:
+
+- the reference loops ``loss_single`` over 10 decoder outputs and
+  ``_get_target_single`` over images, round-tripping every cost matrix to CPU
+  scipy (mask_hungarian_assigner.py:126-135); here the whole pipeline —
+  point sampling, cost matrices, Hungarian matching, loss reductions — is
+  vmapped over (layers x images) inside the jitted train step,
+- variable-length GT lists become fixed-size arrays + validity masks
+  (``num_gts``), so shapes are static,
+- the grounding loss's cross-rank all_gather disappears: under pjit the
+  criterion sees the global batch (losses/grounding.py),
+- global normalizers (num_total_masks, class-weight avg factors) are
+  computed over the global batch; this matches the reference's
+  reduce_mean + DDP-grad-average semantics for mask losses and is a
+  negligible reweighting for the CE avg factors.
+
+Cost terms match configs/instance/coco_b48n17.py:171-176 (cls 0.0,
+cls_emb 2.0, mask/BCE 5.0, dice 5.0); loss weights match :102-142.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.hungarian import hungarian_assign
+from ..ops.point_sample import point_sample
+from ..ops.uncertainty import get_uncertain_point_coords_with_randomness
+from .cross_entropy import (
+    binary_ce_with_logits,
+    ignore_index_ce_loss,
+    weighted_softmax_ce_loss,
+)
+from .dice import naive_dice_loss
+from .grounding import grounding_loss
+
+
+@dataclasses.dataclass(frozen=True)
+class CriterionConfig:
+    num_classes: int = 48
+    num_points: int = 12544
+    oversample_ratio: float = 3.0
+    importance_sample_ratio: float = 0.75
+    softmax_temperature: float = 10.0
+    bg_class_weight: float = 0.1
+    # Hungarian cost weights
+    cost_cls: float = 0.0
+    cost_cls_emb: float = 2.0
+    cost_mask: float = 5.0
+    cost_dice: float = 5.0
+    # loss weights
+    loss_cls: float = 0.0
+    loss_cls_emb: float = 2.0
+    loss_grounding: float = 2.0
+    loss_caption_generation: float = 2.0
+    loss_mask: float = 5.0
+    loss_dice: float = 5.0
+    dice_eps: float = 1.0
+    # behavior flags (reference mask2former_head.py:175-194)
+    use_class_emb: bool = True
+    use_caption: bool = True
+    use_caption_generation: bool = True
+    class_agnostic: bool = False
+    loss_only_last: bool = False
+    loss_aux_weight: float = 1.0
+    gen_only_obj_nouns: bool = False
+    gen_mask_obj_nouns: bool = False
+    gen_replace_obj_nouns: bool = False
+    object_token_id: int = 4874  # BERT id for 'object' (reference :575)
+
+
+def _match_costs(
+    cls_scores: jnp.ndarray,  # (Q, C+1)
+    cls_emb_logits: Optional[jnp.ndarray],  # (Q, C+1)
+    mask_pts: jnp.ndarray,  # (Q, P) logits
+    gt_labels: jnp.ndarray,  # (G,) padded
+    gt_pts: jnp.ndarray,  # (G, P) {0,1}
+    cfg: CriterionConfig,
+) -> jnp.ndarray:
+    """Weighted matching cost matrix (G, Q) for one image."""
+    p = mask_pts.shape[-1]
+    gt_safe = jnp.clip(gt_labels, 0, cls_scores.shape[-1] - 1)
+
+    cost = jnp.zeros((gt_labels.shape[0], cls_scores.shape[0]), jnp.float32)
+    if cfg.cost_cls != 0.0:
+        probs = jax.nn.softmax(cls_scores.astype(jnp.float32), axis=-1)
+        cost += cfg.cost_cls * (-probs[:, gt_safe].T)
+    if cfg.cost_cls_emb != 0.0 and cls_emb_logits is not None:
+        probs = jax.nn.softmax(cls_emb_logits.astype(jnp.float32), axis=-1)
+        cost += cfg.cost_cls_emb * (-probs[:, gt_safe].T)
+    if cfg.cost_mask != 0.0:
+        # BCE cost decomposed into two matmuls (MXU-friendly)
+        pos = binary_ce_with_logits(mask_pts, jnp.ones_like(mask_pts))
+        neg = binary_ce_with_logits(mask_pts, jnp.zeros_like(mask_pts))
+        t = gt_pts.astype(jnp.float32)
+        bce = (t @ pos.T + (1.0 - t) @ neg.T) / p  # (G, Q)
+        cost += cfg.cost_mask * bce
+    if cfg.cost_dice != 0.0:
+        prob = jax.nn.sigmoid(mask_pts.astype(jnp.float32))
+        num = 2.0 * (gt_pts.astype(jnp.float32) @ prob.T)
+        den = gt_pts.sum(axis=1)[:, None] + prob.sum(axis=1)[None, :]
+        dice = 1.0 - (num + cfg.dice_eps) / (den + cfg.dice_eps)
+        cost += cfg.cost_dice * dice
+    return cost
+
+
+def _assign_layer(
+    rng: jax.Array,
+    cls_scores: jnp.ndarray,  # (B, Q, C+1)
+    cls_emb_logits: Optional[jnp.ndarray],
+    mask_preds: jnp.ndarray,  # (B, Q, h, w)
+    gt_labels: jnp.ndarray,  # (B, G)
+    gt_masks: jnp.ndarray,  # (B, G, H, W)
+    num_gts: jnp.ndarray,  # (B,)
+    cfg: CriterionConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Hungarian assignment for one decoder layer over the batch.
+
+    Returns (labels (B, Q), mask_weights (B, Q), assigned (B, Q))."""
+    b = cls_scores.shape[0]
+    keys = jax.random.split(rng, b)
+
+    def per_image(key, cls_s, emb_l, mask_p, g_labels, g_masks, n):
+        coords = jax.random.uniform(key, (cfg.num_points, 2))
+        mask_pts = point_sample(mask_p, coords)  # (Q, P)
+        gt_pts = point_sample(g_masks.astype(jnp.float32), coords)  # (G, P)
+        cost = _match_costs(cls_s, emb_l, mask_pts, g_labels, gt_pts, cfg)
+        return hungarian_assign(cost, n)  # (Q,) gt-or--1
+
+    if cls_emb_logits is None:
+        assigned = jax.vmap(
+            lambda k, c, m, gl, gm, n: per_image(k, c, None, m, gl, gm, n)
+        )(keys, cls_scores, mask_preds, gt_labels, gt_masks, num_gts)
+    else:
+        assigned = jax.vmap(per_image)(
+            keys, cls_scores, cls_emb_logits, mask_preds, gt_labels, gt_masks, num_gts
+        )
+
+    matched = assigned >= 0
+    safe = jnp.clip(assigned, 0, gt_labels.shape[1] - 1)
+    labels = jnp.where(
+        matched, jnp.take_along_axis(gt_labels, safe, axis=1), cfg.num_classes
+    )
+    return labels, matched, safe
+
+
+def _mask_losses(
+    rng: jax.Array,
+    mask_preds: jnp.ndarray,  # (B, Q, h, w) logits
+    gt_masks: jnp.ndarray,  # (B, G, H, W)
+    matched: jnp.ndarray,  # (B, Q) bool
+    assigned: jnp.ndarray,  # (B, Q) clipped gt index
+    num_total_masks: jnp.ndarray,
+    cfg: CriterionConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Point-sampled dice + BCE losses (reference :591-627)."""
+    b, q, h, w = mask_preds.shape
+    flat_preds = mask_preds.reshape(b * q, h, w)
+    coords = get_uncertain_point_coords_with_randomness(
+        rng,
+        jax.lax.stop_gradient(flat_preds),
+        cfg.num_points,
+        cfg.oversample_ratio,
+        cfg.importance_sample_ratio,
+    )  # (B*Q, P, 2)
+
+    pred_pts = point_sample(flat_preds, coords).reshape(b, q, cfg.num_points)
+
+    # gather each query's matched GT mask and sample the same points
+    gt_per_query = jnp.take_along_axis(
+        gt_masks, assigned[:, :, None, None], axis=1
+    )  # (B, Q, H, W)
+    tgt_pts = point_sample(
+        gt_per_query.reshape(b * q, *gt_per_query.shape[2:]).astype(jnp.float32),
+        coords,
+    ).reshape(b, q, cfg.num_points)
+
+    wgt = matched.astype(jnp.float32)  # (B, Q)
+    dice = naive_dice_loss(
+        pred_pts.reshape(b * q, -1), tgt_pts.reshape(b * q, -1), cfg.dice_eps
+    ).reshape(b, q)
+    loss_dice = (dice * wgt).sum() / num_total_masks
+
+    bce = binary_ce_with_logits(pred_pts, tgt_pts)  # (B, Q, P)
+    loss_mask = (bce * wgt[:, :, None]).sum() / (num_total_masks * cfg.num_points)
+    return loss_mask, loss_dice
+
+
+def _caption_generation_targets(
+    caption_ids: jnp.ndarray,  # (B, T)
+    nouns_ids: jnp.ndarray,  # (B, Tn)
+    nouns_mask: jnp.ndarray,  # (B, Tn)
+    cfg: CriterionConfig,
+) -> jnp.ndarray:
+    """Apply the gen_* target-munging flags (reference :561-575)."""
+    if not (cfg.gen_only_obj_nouns or cfg.gen_mask_obj_nouns or cfg.gen_replace_obj_nouns):
+        return caption_ids
+    valid_nouns = (nouns_ids * nouns_mask.astype(nouns_ids.dtype))[:, None, :]
+    is_noun = jnp.any(
+        (caption_ids[:, :, None] == valid_nouns) & (valid_nouns != 0), axis=-1
+    )
+    ids = caption_ids
+    if cfg.gen_only_obj_nouns:
+        ids = jnp.where(is_noun, ids, 0)
+    if cfg.gen_mask_obj_nouns:
+        # zero out the first noun occurrence per caption
+        first = jnp.argmax(is_noun, axis=1)
+        has = jnp.any(is_noun, axis=1)
+        onehot = jax.nn.one_hot(first, ids.shape[1], dtype=bool) & has[:, None]
+        ids = jnp.where(onehot, 0, ids)
+    if cfg.gen_replace_obj_nouns:
+        ids = jnp.where(is_noun, cfg.object_token_id, ids)
+    return ids
+
+
+def compute_losses(
+    rng: jax.Array,
+    outputs: Dict[str, jnp.ndarray],
+    batch: Dict[str, jnp.ndarray],
+    train_bank: jnp.ndarray,  # (C+1, d)
+    cfg: CriterionConfig,
+    caption_apply: Optional[Callable] = None,
+    caption_embed: Optional[Callable] = None,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """All losses over all decoder layers.
+
+    Args:
+        outputs: head outputs — cls_scores (L, B, Q, C+1),
+            cls_emb_preds (L, B, Q, d), mask_preds (L, B, Q, h, w).
+        batch: gt_labels (B, G) int32 (pad -1), gt_masks (B, G, H, W),
+            num_gts (B,), caption_ids/caption_mask (B, T),
+            caption_nouns_ids/caption_nouns_mask (B, Tn).
+        train_bank: base-class embedding bank incl. zero bg row.
+        caption_apply: fn(tgt_embs, memory, pad_mask, rng) -> logits
+            (teacher-forced caption decoder pass, bound to model params).
+        caption_embed: fn(ids) -> (.., d) BERT embedding lookup (+LN).
+
+    Returns (total_loss, per-loss dict incl. per-layer aux entries).
+    """
+    cls_scores = outputs["cls_scores"].astype(jnp.float32)
+    cls_emb_preds = outputs["cls_emb_preds"].astype(jnp.float32)
+    mask_preds = outputs["mask_preds"].astype(jnp.float32)
+    num_layers = cls_scores.shape[0]
+
+    gt_labels = batch["gt_labels"]
+    gt_masks = batch["gt_masks"]
+    num_gts = batch["num_gts"]
+
+    class_weight = jnp.concatenate(
+        [jnp.ones((cfg.num_classes,)), jnp.array([cfg.bg_class_weight])]
+    )
+    num_total_masks = jnp.maximum(num_gts.sum().astype(jnp.float32), 1.0)
+
+    if cfg.use_class_emb:
+        # (L, B, Q, C+1)
+        cls_emb_logits = (
+            jnp.einsum("lbqd,cd->lbqc", cls_emb_preds, train_bank)
+            / cfg.softmax_temperature
+        )
+    else:
+        cls_emb_logits = None
+
+    # caption word embeddings (frozen BERT table)
+    if cfg.use_caption or cfg.use_caption_generation:
+        assert caption_embed is not None
+        caption_embs = caption_embed(batch["caption_ids"])  # (B, T, d)
+        nouns_embs = caption_embed(batch["caption_nouns_ids"])  # (B, Tn, d)
+
+    layer_keys = jax.random.split(rng, num_layers * 3).reshape(num_layers, 3, 2)
+
+    def layer_losses(li: int):
+        k_assign, k_points, k_drop = (
+            layer_keys[li, 0],
+            layer_keys[li, 1],
+            layer_keys[li, 2],
+        )
+        emb_logits_l = None if cls_emb_logits is None else cls_emb_logits[li]
+        labels, matched, assigned = _assign_layer(
+            k_assign,
+            cls_scores[li],
+            emb_logits_l,
+            mask_preds[li],
+            gt_labels,
+            gt_masks,
+            num_gts,
+            cfg,
+        )
+        flat_labels = labels.reshape(-1)
+        avg_factor = jnp.take(class_weight, flat_labels).sum()
+
+        loss_cls = weighted_softmax_ce_loss(
+            cls_scores[li].reshape(-1, cfg.num_classes + 1),
+            flat_labels,
+            class_weight=class_weight,
+            avg_factor=avg_factor,
+        )
+        losses = {"loss_cls": cfg.loss_cls * loss_cls}
+
+        if cfg.use_class_emb:
+            losses["loss_cls_emb"] = cfg.loss_cls_emb * weighted_softmax_ce_loss(
+                emb_logits_l.reshape(-1, cfg.num_classes + 1),
+                flat_labels,
+                class_weight=class_weight,
+                avg_factor=avg_factor,
+            )
+
+        if cfg.use_caption:
+            losses["loss_grounding"] = cfg.loss_grounding * grounding_loss(
+                cls_emb_preds[li],
+                nouns_embs,
+                batch["caption_nouns_mask"],
+                cfg.softmax_temperature,
+            )
+
+        if cfg.use_caption_generation:
+            assert caption_apply is not None
+            tgt_ids = _caption_generation_targets(
+                batch["caption_ids"],
+                batch["caption_nouns_ids"],
+                batch["caption_nouns_mask"],
+                cfg,
+            )
+            pad_mask = ~(batch["caption_mask"][:, :-1].astype(bool))
+            logits = caption_apply(
+                caption_embs[:, :-1, :], cls_emb_preds[li], pad_mask, k_drop
+            )  # (B, T-1, V)
+            losses["loss_caption_generation"] = (
+                cfg.loss_caption_generation
+                * ignore_index_ce_loss(
+                    logits.reshape(-1, logits.shape[-1]),
+                    tgt_ids[:, 1:].reshape(-1),
+                    ignore_index=0,
+                )
+            )
+
+        loss_mask, loss_dice = _mask_losses(
+            k_points,
+            mask_preds[li],
+            gt_masks,
+            matched,
+            assigned,
+            num_total_masks,
+            cfg,
+        )
+        losses["loss_mask"] = cfg.loss_mask * loss_mask
+        losses["loss_dice"] = cfg.loss_dice * loss_dice
+        return losses
+
+    # deep supervision: the last layer reports unprefixed keys; earlier
+    # layers are d{i}.* with aux weight (reference loss(), :439-462)
+    loss_dict: Dict[str, jnp.ndarray] = {}
+    layer_ids = (
+        [num_layers - 1]
+        if cfg.loss_only_last
+        else list(range(num_layers))
+    )
+    for li in layer_ids:
+        lds = layer_losses(li)
+        if li == num_layers - 1:
+            loss_dict.update(lds)
+        else:
+            for k, v in lds.items():
+                loss_dict[f"d{li}.{k}"] = v * cfg.loss_aux_weight
+
+    total = sum(loss_dict.values())
+    return total, loss_dict

@@ -82,7 +82,26 @@ class CaptionTransformer(nn.Module):
     vocab_size: int = 30522
     dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        if self.input_dim != self.hidden_dim:
+            self.adapter = nn.Dense(self.hidden_dim, dtype=self.dtype, name="adapter")
+            self.adapter_tgt = nn.Dense(
+                self.hidden_dim, dtype=self.dtype, name="adapter_tgt"
+            )
+        self.input_dropout = nn.Dropout(self.dropout)
+        self.layers = [
+            CaptionDecoderBlock(
+                hidden_dim=self.hidden_dim,
+                ff_dim=self.ff_dim,
+                num_heads=self.num_heads,
+                dropout=self.dropout,
+                dtype=self.dtype,
+                name=f"layer{li}",
+            )
+            for li in range(self.num_layers)
+        ]
+        self.generator = nn.Dense(self.vocab_size, dtype=self.dtype, name="generator")
+
     def __call__(
         self,
         tgt_embs: jnp.ndarray,  # (B, T, input_dim) token embeddings
@@ -93,36 +112,26 @@ class CaptionTransformer(nn.Module):
         """Returns (all_hidden (L, B, T, C), last_layer_logits (B, T, V))."""
         t = tgt_embs.shape[1]
         if self.input_dim != self.hidden_dim:
-            memory = nn.Dense(self.hidden_dim, dtype=self.dtype, name="adapter")(
-                memory
-            )
-            tgt_embs = nn.Dense(self.hidden_dim, dtype=self.dtype, name="adapter_tgt")(
-                tgt_embs
-            )
+            memory = self.adapter(memory)
+            tgt_embs = self.adapter_tgt(tgt_embs)
 
         pos_table = jnp.asarray(sinusoidal_table_1d(self.seq_length, self.hidden_dim))
         tgt = tgt_embs + pos_table[None, :t, :].astype(tgt_embs.dtype)
-        tgt = nn.Dropout(self.dropout, deterministic=deterministic)(tgt)
+        tgt = self.input_dropout(tgt, deterministic=deterministic)
 
         causal = jnp.triu(jnp.ones((t, t), dtype=bool), k=1)  # True above diag
 
         hidden: List[jnp.ndarray] = []
         for li in range(self.num_layers):
-            tgt = CaptionDecoderBlock(
-                hidden_dim=self.hidden_dim,
-                ff_dim=self.ff_dim,
-                num_heads=self.num_heads,
-                dropout=self.dropout,
-                dtype=self.dtype,
-                name=f"layer{li}",
-            )(tgt, memory, causal, tgt_key_padding_mask, deterministic)
+            tgt = self.layers[li](
+                tgt, memory, causal, tgt_key_padding_mask, deterministic
+            )
             hidden.append(tgt)
 
         all_hidden = jnp.stack(hidden, axis=0)  # (L, B, T, C)
         logits = self.generate(hidden[-1])
         return all_hidden, logits
 
-    @nn.compact_name_scope
     def generate(self, hidden: jnp.ndarray) -> jnp.ndarray:
         """Vocabulary projection, shared across layers for logit averaging."""
-        return nn.Dense(self.vocab_size, dtype=self.dtype, name="generator")(hidden)
+        return self.generator(hidden)

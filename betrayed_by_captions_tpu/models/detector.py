@@ -38,6 +38,9 @@ class Mask2FormerOpen(nn.Module):
     pred_emb_norm: bool = False
     vocab_size: int = 30522
     max_caption_len: int = 35
+    caption_num_layers: int = 4
+    caption_ff_dim: int = 512
+    caption_num_heads: int = 8
     use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
@@ -59,6 +62,11 @@ class Mask2FormerOpen(nn.Module):
         )
         if self.use_caption_generation:
             self.caption_generator = CaptionTransformer(
+                num_layers=self.caption_num_layers,
+                input_dim=self.emb_dim,
+                hidden_dim=self.emb_dim,
+                ff_dim=self.caption_ff_dim,
+                num_heads=self.caption_num_heads,
                 vocab_size=self.vocab_size,
                 seq_length=self.max_caption_len,
                 dtype=self.dtype,
@@ -70,6 +78,17 @@ class Mask2FormerOpen(nn.Module):
         head outputs (see Mask2FormerHeadOpen.__call__)."""
         feats = self.backbone(images)
         return self.head(feats)
+
+    def init_forward(self, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """Initialization path touching every submodule (flax creates params
+        only for executed code, so plain __call__ would miss the caption
+        generator). Use ``model.init(rng, images, method='init_forward')``."""
+        out = self(images)
+        if self.use_caption_generation:
+            b = images.shape[0]
+            tgt = jnp.zeros((b, self.max_caption_len - 1, self.emb_dim), self.dtype)
+            self.caption_forward(tgt, out["cls_emb_preds"][-1])
+        return out
 
     def caption_forward(
         self,
