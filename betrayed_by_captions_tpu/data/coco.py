@@ -1,0 +1,196 @@
+"""Open-vocabulary COCO dataset: instances + captions, base/novel splits.
+
+TPU-native equivalent of the reference ``CocoDatasetOpen``
+(open_set/datasets/coco_open.py:34-781). Behavior contract:
+
+- categories are filtered to known classes; unknown (novel) classes carry
+  NO annotations at training time (reference :278-282),
+- ``cat2label`` maps known-minus-unknown (base) category ids to contiguous
+  training labels in embedding-JSON order via the class banks,
+- one caption is sampled per image per epoch; object nouns are extracted
+  with the LVIS parser; caption and nouns are tokenized to fixed 35-token
+  id/mask arrays (reference :326-357),
+- train samples come out as fixed-shape arrays (TrainTransform contract);
+  test samples as padded images + meta.
+
+CPU-hot-spot redesign (SURVEY.md §3.1): the reference runs spaCy per
+sample inside dataloader workers; here noun parsing is memoized per
+caption string and captions are tokenized with the self-contained
+WordPiece tokenizer.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..evaluation import rle as rle_codec
+from ..models.class_banks import read_split
+from .coco_api import COCOJson
+from .parser import build_parser
+from .tokenizer import WordPieceTokenizer, load_tokenizer
+from .transforms import TestTransform, TrainTransform
+
+MAX_TOKENS = 35
+
+
+class CocoDatasetOpen:
+    def __init__(
+        self,
+        ann_file: str,
+        img_prefix: str = "",
+        caption_ann_file: Optional[str] = None,
+        known_file: Optional[str] = None,
+        unknown_file: Optional[str] = None,
+        class_agnostic: bool = False,
+        nouns_parser: str = "lvis",
+        test_mode: bool = False,
+        filter_empty_gt: bool = False,
+        train_transform: Optional[TrainTransform] = None,
+        test_transform: Optional[TestTransform] = None,
+        tokenizer: Optional[WordPieceTokenizer] = None,
+        eval_types: Sequence[str] = ("all_results", "novel_results", "base_results"),
+        seed: int = 0,
+    ):
+        self.coco = COCOJson(ann_file)
+        self.img_prefix = img_prefix
+        self.class_agnostic = class_agnostic
+        self.test_mode = test_mode
+        self.eval_types = tuple(eval_types)
+        self.rng = np.random.RandomState(seed)
+
+        self.coco_caption = (
+            COCOJson(caption_ann_file) if caption_ann_file else None
+        )
+        if self.coco_caption is not None or not test_mode:
+            self.tokenizer = tokenizer or load_tokenizer()
+            self.parser = build_parser(nouns_parser)
+
+        # category id bookkeeping (reference load_annotations, :139-165)
+        self.cat_ids = self.coco.get_cat_ids()
+        self.all_cat_ids = list(self.cat_ids)
+        if known_file:
+            known_ids = set(self.coco.get_cat_ids(read_split(known_file)))
+            self.all_cat_ids = [c for c in self.cat_ids if c in known_ids]
+        self.unknown_cat_ids: List[int] = []
+        if unknown_file:
+            unk_ids = set(self.coco.get_cat_ids(read_split(unknown_file)))
+            self.unknown_cat_ids = [c for c in self.cat_ids if c in unk_ids]
+        self.known_cat_ids = [
+            c
+            for c in self.cat_ids
+            if c in self.all_cat_ids and c not in self.unknown_cat_ids
+        ]
+        self.cat2label = {c: i for i, c in enumerate(self.known_cat_ids)}
+
+        self.img_ids = self.coco.get_img_ids()
+        self.data_infos = self.coco.load_imgs(self.img_ids)
+        if filter_empty_gt and not test_mode:
+            keep = [
+                i
+                for i, img_id in enumerate(self.img_ids)
+                if any(
+                    a.get("category_id") in self.cat2label
+                    for a in self.coco.img_to_anns.get(img_id, [])
+                )
+            ]
+            self.img_ids = [self.img_ids[i] for i in keep]
+            self.data_infos = [self.data_infos[i] for i in keep]
+
+        self.train_transform = train_transform or TrainTransform()
+        self.test_transform = test_transform or TestTransform()
+
+    def __len__(self) -> int:
+        return len(self.img_ids)
+
+    # ------------------------------------------------------------- loading
+    def _load_image(self, info: dict) -> np.ndarray:
+        import cv2
+
+        path = os.path.join(self.img_prefix, info.get("file_name", ""))
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is None:
+            raise FileNotFoundError(path)
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+    def parse_instances(self, img_id: int, info: dict):
+        """Decode masks/labels for base-class annotations (reference
+        _parse_ann_info, :250-312)."""
+        h, w = info["height"], info["width"]
+        masks, labels = [], []
+        for ann in self.coco.img_to_anns.get(img_id, []):
+            if ann.get("ignore", False) or ann.get("iscrowd", False):
+                continue
+            x1, y1, bw, bh = ann["bbox"]
+            if ann.get("area", 0) <= 0 or bw < 1 or bh < 1:
+                continue
+            cid = ann.get("category_id")
+            if cid not in self.cat2label:
+                continue  # novel / unlisted classes carry no training anns
+            seg = ann.get("segmentation")
+            if seg is None:
+                continue
+            masks.append(rle_codec.segmentation_to_mask(seg, h, w))
+            labels.append(0 if self.class_agnostic else self.cat2label[cid])
+        if masks:
+            return np.stack(masks), np.asarray(labels, np.int32)
+        return np.zeros((0, h, w), np.uint8), np.zeros((0,), np.int32)
+
+    def sample_caption(self, img_id: int) -> Tuple[str, str]:
+        anns = self.coco_caption.img_to_anns.get(img_id, [])
+        if not anns:
+            return "", ""
+        caption = anns[self.rng.randint(0, len(anns))]["caption"]
+        nouns, _ = self.parser.parse(caption)
+        return caption, " ".join(sorted(set(nouns)))
+
+    def tokenize_caption(self, caption: str, nouns: str):
+        """Fixed 35-token arrays (reference parse_caption, :326-357)."""
+        ids, mask = self.tokenizer.encode(
+            caption, max_length=MAX_TOKENS, add_special_tokens=True
+        )
+        nouns_ids, nouns_mask = self.tokenizer.encode(
+            nouns, max_length=MAX_TOKENS, add_special_tokens=False
+        )
+        return (
+            np.asarray(ids, np.int32),
+            np.asarray(mask, np.int32),
+            np.asarray(nouns_ids, np.int32),
+            np.asarray(nouns_mask, np.int32),
+        )
+
+    # ------------------------------------------------------------ getitem
+    def get_train_sample(self, idx: int) -> Dict[str, np.ndarray]:
+        img_id = self.img_ids[idx]
+        info = self.data_infos[idx]
+        image = self._load_image(info)
+        masks, labels = self.parse_instances(img_id, info)
+        sample = self.train_transform(image, masks, labels, self.rng)
+        if self.coco_caption is not None:
+            caption, nouns = self.sample_caption(img_id)
+            ids, mask, n_ids, n_mask = self.tokenize_caption(caption, nouns)
+        else:
+            ids = np.zeros((MAX_TOKENS,), np.int32)
+            mask = np.zeros((MAX_TOKENS,), np.int32)
+            n_ids, n_mask = ids.copy(), mask.copy()
+        sample.update(
+            caption_ids=ids,
+            caption_mask=mask,
+            caption_nouns_ids=n_ids,
+            caption_nouns_mask=n_mask,
+        )
+        return sample
+
+    def get_test_sample(self, idx: int):
+        info = self.data_infos[idx]
+        image = self._load_image(info)
+        padded, meta = self.test_transform(image)
+        meta["img_id"] = self.img_ids[idx]
+        return padded, meta
+
+    def __getitem__(self, idx: int):
+        if self.test_mode:
+            return self.get_test_sample(idx)
+        return self.get_train_sample(idx)

@@ -1,0 +1,174 @@
+"""Caption -> object-noun parsers (host-side, self-contained).
+
+TPU-framework equivalent of the reference's caption-noun extraction
+(open_set/datasets/utils/parser.py:15-158). The reference uses spaCy
+lemmatization + LVIS-synonym matching (LVISParser) or NLTK POS tagging
+(NLTKParser); neither model/corpus is downloadable in a zero-egress
+environment, so:
+
+- lemmatization is a deterministic rule-based English noun lemmatizer
+  (inflection stripping) — adequate for object nouns in COCO captions,
+- ``LVISParser`` matches lemmatized LVIS synonyms (shipped as the data
+  asset ``assets/lvis_synonyms.json``) inside the lemmatized caption with
+  word-boundary semantics, like the reference,
+- ``POSParser`` uses NLTK when its corpora are installed and otherwise
+  falls back to vocabulary matching.
+
+Parsing is a CPU hot spot in the reference (per-sample spaCy parse in the
+dataloader, SURVEY.md §3.1); here parsers memoize per caption and datasets
+precompute nouns once per epoch into a cache.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from functools import lru_cache
+from typing import Dict, List, Sequence, Tuple
+
+_IRREGULAR = {
+    "men": "man",
+    "women": "woman",
+    "children": "child",
+    "people": "person",
+    "teeth": "tooth",
+    "feet": "foot",
+    "geese": "goose",
+    "mice": "mouse",
+    "knives": "knife",
+    "leaves": "leaf",
+    "loaves": "loaf",
+    "wolves": "wolf",
+    "shelves": "shelf",
+    "scarves": "scarf",
+    "wives": "wife",
+    "lives": "life",
+    "skis": "ski",
+}
+
+_KEEP_S = {
+    "glass", "bus", "dress", "its", "this", "tennis", "grass", "press",
+    "chess", "class", "mattress", "cross", "address", "is", "was", "has",
+    "gas", "less", "plus", "christmas", "pants", "scissors", "shorts",
+}
+
+
+def lemmatize_word(word: str) -> str:
+    """Rule-based English noun lemmatization (singularization)."""
+    w = word.lower()
+    if w in _IRREGULAR:
+        return _IRREGULAR[w]
+    if w in _KEEP_S or len(w) <= 3:
+        return w
+    if w.endswith("ies") and len(w) > 4:
+        return w[:-3] + "y"
+    if w.endswith(("ches", "shes", "sses", "xes", "zes")):
+        return w[:-2]
+    if w.endswith("oes") and len(w) > 4:
+        return w[:-2]
+    if w.endswith("s") and not w.endswith(("ss", "us", "is")):
+        return w[:-1]
+    return w
+
+
+_WORD_RE = re.compile(r"[a-z0-9]+(?:[-'][a-z0-9]+)*")
+
+
+def lemmatize_sentence(sentence: str) -> str:
+    words = _WORD_RE.findall(sentence.lower())
+    return " ".join(lemmatize_word(w) for w in words)
+
+
+def _default_lvis_path() -> str:
+    return os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "assets", "lvis_synonyms.json")
+    )
+
+
+class LVISParser:
+    """Match lemmatized LVIS synonyms inside the lemmatized caption.
+
+    Mirrors the reference LVISParser contract: ``parse(sentence)`` returns
+    (matched noun strings, 0-based LVIS category ids).
+    """
+
+    def __init__(self, vocab_path: str = None):
+        with open(vocab_path or _default_lvis_path()) as f:
+            cats = json.load(f)
+        self.class_names: List[str] = [""] * len(cats)
+        self.look_up: Dict[str, int] = {}
+        for item in cats:
+            cid = item["id"] - 1  # 0-based
+            self.class_names[cid] = item["name"]
+            for syn in item["synonyms"]:
+                syn = syn.lower().replace("_", " ")
+                lemma = lemmatize_sentence(syn)
+                if lemma:
+                    self.look_up[lemma] = cid
+        # longest-first so multiword synonyms are honored in matching
+        self._patterns = sorted(self.look_up, key=len, reverse=True)
+
+    @lru_cache(maxsize=200000)
+    def parse(self, sentence: str) -> Tuple[Tuple[str, ...], Tuple[int, ...]]:
+        lemma_sentence = " " + lemmatize_sentence(sentence) + " "
+        nouns: List[str] = []
+        ids: List[int] = []
+        for pat in self._patterns:
+            if f" {pat} " in lemma_sentence:
+                nouns.append(pat)
+                ids.append(self.look_up[pat])
+        return tuple(nouns), tuple(ids)
+
+
+# small public-domain English stopword list (fallback for POSParser)
+_STOPWORDS = set(
+    """a an the and or but if of at by for with about against between into
+    through during before after above below to from up down in out on off
+    over under again further then once here there when where why how all
+    any both each few more most other some such no nor not only own same
+    so than too very s t can will just don should now is are was were be
+    been being have has had having do does did doing he she it its they
+    them their this that these those i me my we our you your him his her
+    while as until""".split()
+)
+
+
+class POSParser:
+    """Noun extraction via POS tagging (reference NLTKParser).
+
+    Uses NLTK when its tagger corpora are installed; otherwise falls back
+    to LVIS vocabulary matching (which covers COCO object nouns).
+    """
+
+    def __init__(self, allowed_tags: Sequence[str] = ("NN", "NNS")):
+        self.allowed_tags = tuple(allowed_tags)
+        self._nltk_ok = False
+        try:
+            import nltk
+
+            nltk.pos_tag(["test"])  # raises if corpora missing
+            self._nltk = nltk
+            self._nltk_ok = True
+        except Exception:
+            self._fallback = LVISParser()
+
+    def parse(self, sentence: str) -> Tuple[Tuple[str, ...], Tuple[int, ...]]:
+        if self._nltk_ok:
+            words = [
+                w
+                for w in _WORD_RE.findall(sentence.lower())
+                if w not in _STOPWORDS
+            ]
+            tagged = self._nltk.pos_tag(words)
+            nouns = tuple(w for w, t in tagged if t in self.allowed_tags)
+            return nouns, tuple(-1 for _ in nouns)
+        return self._fallback.parse(sentence)
+
+
+def build_parser(kind: str = "lvis"):
+    if kind == "lvis":
+        return LVISParser()
+    if kind in ("nltk", "pos"):
+        return POSParser()
+    raise ValueError(f"unknown parser kind {kind!r}")

@@ -1,0 +1,221 @@
+"""Data-layer tests on a synthetic COCO fixture (SURVEY.md §4)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from betrayed_by_captions_tpu.data.coco import CocoDatasetOpen
+from betrayed_by_captions_tpu.data.loader import ClassBalancedDataset, DataLoader
+from betrayed_by_captions_tpu.data.parser import (
+    LVISParser,
+    lemmatize_sentence,
+    lemmatize_word,
+)
+from betrayed_by_captions_tpu.data.tokenizer import (
+    WordPieceTokenizer,
+    synthetic_vocab,
+)
+from betrayed_by_captions_tpu.data.transforms import TestTransform, TrainTransform
+
+
+@pytest.fixture(scope="module")
+def coco_fixture(tmp_path_factory):
+    root = tmp_path_factory.mktemp("coco")
+    import cv2
+
+    images, annotations, captions = [], [], []
+    cats = [
+        {"id": 1, "name": "person"},
+        {"id": 2, "name": "dog"},
+        {"id": 3, "name": "cat"},
+    ]
+    ann_id = 1
+    for i in range(4):
+        h, w = 120 + 10 * i, 160
+        img = (np.random.RandomState(i).rand(h, w, 3) * 255).astype(np.uint8)
+        fname = f"img{i}.jpg"
+        cv2.imwrite(str(root / fname), img)
+        images.append(
+            {"id": i + 1, "file_name": fname, "height": h, "width": w}
+        )
+        for j in range(2):
+            x0, y0 = 10 + 30 * j, 20
+            poly = [x0, y0, x0 + 25, y0, x0 + 25, y0 + 35, x0, y0 + 35]
+            annotations.append(
+                {
+                    "id": ann_id,
+                    "image_id": i + 1,
+                    "category_id": (j % 3) + 1,
+                    "bbox": [x0, y0, 25, 35],
+                    "area": 25 * 35,
+                    "segmentation": [poly],
+                    "iscrowd": 0,
+                }
+            )
+            ann_id += 1
+        captions.append(
+            {
+                "id": 1000 + i,
+                "image_id": i + 1,
+                "caption": "two dogs and a person sitting on benches",
+            }
+        )
+
+    inst = {"images": images, "annotations": annotations, "categories": cats}
+    caps = {"images": images, "annotations": captions}
+    inst_file = str(root / "instances.json")
+    caps_file = str(root / "captions.json")
+    with open(inst_file, "w") as f:
+        json.dump(inst, f)
+    with open(caps_file, "w") as f:
+        json.dump(caps, f)
+
+    known_file = str(root / "known.txt")
+    unknown_file = str(root / "unknown.txt")
+    with open(known_file, "w") as f:
+        f.write("person\ndog\ncat")
+    with open(unknown_file, "w") as f:
+        f.write("cat")
+    return dict(
+        root=str(root),
+        inst=inst_file,
+        caps=caps_file,
+        known=known_file,
+        unknown=unknown_file,
+    )
+
+
+class TestTokenizer:
+    def test_wordpiece_splits(self):
+        tok = WordPieceTokenizer(synthetic_vocab(["play", "##ing"]))
+        assert tok.tokenize("playing") == ["play", "##ing"]
+        assert tok.tokenize("dogs") == ["dog", "##s"]
+        assert tok.tokenize("zzzq") == ["[UNK]"]
+
+    def test_encode_pads_and_truncates(self):
+        tok = WordPieceTokenizer(synthetic_vocab())
+        ids, mask = tok.encode("a dog on the bench", max_length=10)
+        assert len(ids) == len(mask) == 10
+        assert ids[0] == tok.cls_id
+        assert tok.sep_id in ids
+        assert mask[sum(mask):] == [0] * (10 - sum(mask))
+        ids2, _ = tok.encode(" ".join(["dog"] * 50), max_length=10)
+        assert len(ids2) == 10 and ids2[-1] == tok.sep_id
+
+    def test_decode_roundtrip(self):
+        tok = WordPieceTokenizer(synthetic_vocab())
+        ids, mask = tok.encode("a dog", max_length=8)
+        text = tok.decode([i for i, m in zip(ids, mask) if m], skip_special=True)
+        assert text == "a dog"
+
+
+class TestParser:
+    def test_lemmatize(self):
+        assert lemmatize_word("dogs") == "dog"
+        assert lemmatize_word("benches") == "bench"
+        assert lemmatize_word("people") == "person"
+        assert lemmatize_word("glasses") == "glass"
+        assert lemmatize_word("knives") == "knife"
+        assert lemmatize_sentence("Two dogs playing.") == "two dog playing"
+
+    def test_lvis_parser_finds_objects(self):
+        parser = LVISParser()
+        nouns, ids = parser.parse("Two dogs and a person sitting on benches")
+        assert "dog" in nouns
+        assert "person" in nouns
+        assert "bench" in nouns
+        assert len(ids) == len(nouns)
+
+    def test_multiword_synonym(self):
+        parser = LVISParser()
+        nouns, _ = parser.parse("a fire hydrant on the street")
+        assert "fire hydrant" in nouns
+
+
+class TestTransforms:
+    def test_train_transform_shapes(self):
+        t = TrainTransform(image_size=(128, 128), max_instances=10)
+        rng = np.random.RandomState(0)
+        img = (rng.rand(100, 150, 3) * 255).astype(np.float32)
+        masks = np.zeros((3, 100, 150), np.uint8)
+        masks[:, 30:60, 40:90] = 1
+        labels = np.array([0, 1, 2], np.int32)
+        out = t(img, masks, labels, rng)
+        assert out["image"].shape == (128, 128, 3)
+        assert out["gt_masks"].shape == (10, 128, 128)
+        assert out["gt_labels"].shape == (10,)
+        assert 0 <= out["num_gts"] <= 3
+        assert (out["gt_labels"][out["num_gts"]:] == -1).all()
+
+    def test_test_transform_buckets(self):
+        t = TestTransform(scale=(1333, 800), pad_bucket=(800, 1344))
+        img = np.zeros((480, 640, 3), np.float32)
+        padded, meta = t(img)
+        assert padded.shape == (800, 1344, 3)
+        assert meta["img_shape"][0] <= 800
+        # portrait image flips the bucket
+        padded2, meta2 = t(np.zeros((640, 480, 3), np.float32))
+        assert padded2.shape == (1344, 800, 3)
+
+
+class TestDataset:
+    def test_train_sample_contract(self, coco_fixture):
+        ds = CocoDatasetOpen(
+            coco_fixture["inst"],
+            img_prefix=coco_fixture["root"],
+            caption_ann_file=coco_fixture["caps"],
+            known_file=coco_fixture["known"],
+            unknown_file=coco_fixture["unknown"],
+        )
+        # 'cat' is novel: excluded from training labels
+        assert len(ds.known_cat_ids) == 2
+        assert len(ds.unknown_cat_ids) == 1
+        s = ds[0]
+        assert s["image"].shape == (1024, 1024, 3)
+        assert s["gt_masks"].shape[0] == 100
+        assert s["caption_ids"].shape == (35,)
+        assert s["caption_nouns_mask"].sum() > 0
+        valid_labels = s["gt_labels"][: s["num_gts"]]
+        assert (valid_labels >= 0).all() and (valid_labels < 2).all()
+
+    def test_loader_batches(self, coco_fixture):
+        from betrayed_by_captions_tpu.data.transforms import TrainTransform
+
+        ds = CocoDatasetOpen(
+            coco_fixture["inst"],
+            img_prefix=coco_fixture["root"],
+            caption_ann_file=coco_fixture["caps"],
+            known_file=coco_fixture["known"],
+            unknown_file=coco_fixture["unknown"],
+            train_transform=TrainTransform(image_size=(128, 128), max_instances=8),
+        )
+        loader = DataLoader(ds, batch_size=2, num_workers=2, seed=1)
+        batches = list(loader)
+        assert len(batches) == 2
+        b = batches[0]
+        assert b["image"].shape == (2, 128, 128, 3)
+        assert b["gt_masks"].shape == (2, 8, 128, 128)
+        assert b["caption_ids"].shape == (2, 35)
+
+    def test_class_balanced_wrapper(self, coco_fixture):
+        ds = CocoDatasetOpen(
+            coco_fixture["inst"],
+            img_prefix=coco_fixture["root"],
+            caption_ann_file=coco_fixture["caps"],
+            known_file=coco_fixture["known"],
+            unknown_file=coco_fixture["unknown"],
+        )
+        wrapped = ClassBalancedDataset(ds, oversample_thr=0.9)
+        assert len(wrapped) >= len(ds)
+
+    def test_test_mode(self, coco_fixture):
+        ds = CocoDatasetOpen(
+            coco_fixture["inst"],
+            img_prefix=coco_fixture["root"],
+            test_mode=True,
+        )
+        img, meta = ds[0]
+        assert img.ndim == 3
+        assert "ori_shape" in meta and "scale_factor" in meta
