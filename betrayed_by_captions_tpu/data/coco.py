@@ -194,3 +194,72 @@ class CocoDatasetOpen:
         if self.test_mode:
             return self.get_test_sample(idx)
         return self.get_train_sample(idx)
+
+    # ---------------------------------------------------------- evaluation
+    def name_to_cat_id(self) -> Dict[str, int]:
+        return {c["name"]: c["id"] for c in self.coco.cats.values()}
+
+    def _imgs_with_cats(self, cat_ids: Sequence[int]) -> List[int]:
+        """Images containing annotations of the given categories (reference
+        _get_valid_imgs, coco_open.py:228-248)."""
+        wanted = set(cat_ids)
+        return [
+            img_id
+            for img_id in self.img_ids
+            if any(
+                a.get("category_id") in wanted
+                for a in self.coco.img_to_anns.get(img_id, [])
+            )
+        ]
+
+    def evaluate(
+        self,
+        results_per_type: Dict[str, List[dict]],
+        class_names_per_type: Dict[str, Sequence[str]],
+        metrics: Sequence[str] = ("segm", "bbox"),
+    ) -> Dict[str, float]:
+        """OVIS/OVOD evaluation (reference evaluate, coco_open.py:474-716).
+
+        Args:
+            results_per_type: eval_type -> per-image dicts with keys
+                labels/scores/boxes/masks (host-postprocessed, ori res).
+            class_names_per_type: eval_type -> bank class-name order, which
+                defines the label -> category-id mapping.
+        """
+        from ..evaluation.ovis import (
+            base_novel_all_summary,
+            evaluate_coco,
+            results_to_coco_json,
+        )
+
+        name2id = self.name_to_cat_id()
+        out: Dict[str, float] = {}
+        for eval_type, per_image in results_per_type.items():
+            names = class_names_per_type[eval_type]
+            label2cat = [name2id[n] for n in names]
+            segm_res, bbox_res = results_to_coco_json(
+                per_image, self.img_ids[: len(per_image)], label2cat
+            )
+            pred_cats = list(label2cat)
+            valid_imgs = self._imgs_with_cats(pred_cats)
+            use_summarize = not (self.known_cat_ids and self.unknown_cat_ids)
+            for metric in metrics:
+                res = segm_res if metric == "segm" else bbox_res
+                stats = evaluate_coco(
+                    self.coco,
+                    res,
+                    metric,
+                    pred_cats,
+                    img_ids=valid_imgs if not self.class_agnostic else None,
+                    class_agnostic=self.class_agnostic,
+                    use_summarize=use_summarize or self.class_agnostic,
+                )
+                summary = base_novel_all_summary(
+                    stats.pop("classwise_ap50"),
+                    self.unknown_cat_ids,
+                    self.all_cat_ids,
+                )
+                prefix = f"{eval_type}.{metric}"
+                for k, v in {**stats, **summary}.items():
+                    out[f"{prefix}.{k}"] = v
+        return out
