@@ -32,8 +32,10 @@ class COCOJson:
             self.imgs[img["id"]] = img
         for cat in self.dataset.get("categories", []):
             self.cats[cat["id"]] = cat
-        for ann in self.dataset.get("annotations", []):
-            self.anns[ann["id"]] = ann
+        for i, ann in enumerate(self.dataset.get("annotations", [])):
+            # panoptic-style annotations carry no per-annotation id
+            ann_id = ann.get("id", -(i + 1))
+            self.anns[ann_id] = ann
             self.img_to_anns[ann["image_id"]].append(ann)
             if "category_id" in ann:
                 self.cat_img_map[ann["category_id"]].append(ann["image_id"])
