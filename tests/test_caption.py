@@ -1,0 +1,118 @@
+"""Caption metrics golden tests + beam search behavior tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from betrayed_by_captions_tpu.evaluation.caption_metrics import (
+    bleu_score,
+    cider_d_score,
+    evaluate_captions,
+    rouge_l_score,
+)
+from betrayed_by_captions_tpu.evaluation.inference import beam_search
+
+
+class TestBleu:
+    def test_perfect_match(self):
+        c = {"1": "a dog sits on the bench"}
+        r = {"1": ["a dog sits on the bench"]}
+        scores = bleu_score(c, r)
+        for s in scores:
+            assert s == pytest.approx(1.0)
+
+    def test_no_overlap(self):
+        c = {"1": "xyz qrs tuv"}
+        r = {"1": ["a dog sits"]}
+        scores = bleu_score(c, r)
+        assert scores[0] < 1e-6
+
+    def test_partial_unigram(self):
+        c = {"1": "the dog"}
+        r = {"1": ["a dog runs"]}
+        scores = bleu_score(c, r)
+        # 1 of 2 unigrams match; BP = exp(1 - 3/2)
+        import math
+
+        assert scores[0] == pytest.approx(0.5 * math.exp(1 - 3 / 2), rel=1e-6)
+
+    def test_clipping(self):
+        c = {"1": "dog dog dog"}
+        r = {"1": ["one dog here"]}
+        scores = bleu_score(c, r)
+        assert scores[0] == pytest.approx(1 / 3, rel=1e-6)
+
+
+class TestCiderRouge:
+    def test_perfect_cider_positive(self):
+        c = {"1": "a dog on a bench", "2": "a cat on a mat"}
+        r = {"1": ["a dog on a bench"], "2": ["a cat on a mat"]}
+        score = cider_d_score(c, r)
+        assert score > 1.0  # perfect matches score high (max 10)
+
+    def test_cider_orders_quality(self):
+        r = {"1": ["a dog on a bench"], "2": ["two people walk"]}
+        good = {"1": "a dog on a bench", "2": "two people walk"}
+        bad = {"1": "purple elephants fly", "2": "quantum flux"}
+        assert cider_d_score(good, r) > cider_d_score(bad, r)
+
+    def test_rouge_perfect(self):
+        c = {"1": "a dog sits"}
+        r = {"1": ["a dog sits"]}
+        assert rouge_l_score(c, r) == pytest.approx(1.0)
+
+    def test_rouge_subsequence(self):
+        c = {"1": "a dog"}
+        r = {"1": ["a big dog"]}
+        score = rouge_l_score(c, r)
+        # LCS=2: p=1, r=2/3 -> F(beta=1.2)
+        beta = 1.2
+        p, rc = 1.0, 2 / 3
+        want = (1 + beta**2) * p * rc / (rc + beta**2 * p)
+        assert score == pytest.approx(want, rel=1e-6)
+
+    def test_evaluate_all_keys(self):
+        c = {"1": "a dog"}
+        r = {"1": ["a dog"]}
+        m = evaluate_captions(c, r)
+        assert set(m) == {"Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "CIDEr", "ROUGE_L"}
+
+
+class TestBeamSearch:
+    def test_greedy_sequence_recovered(self):
+        """A deterministic scorer that always prefers a fixed next token
+        must yield that sequence."""
+        vocab = 20
+        eos = 5
+        preferred = [7, 9, 11, eos]
+
+        def scorer(ids, memory):
+            t = ids.shape[1]
+            step = t - 1  # 0-based next position
+            logits = np.full((ids.shape[0], vocab), -10.0, np.float32)
+            tok = preferred[min(step, len(preferred) - 1)]
+            logits[:, tok] = 0.0
+            return jnp.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
+
+        memory = jnp.zeros((1, 4, 8))
+        finished = beam_search(
+            scorer, memory, beam_width=3, max_len=10, bos=1, eos=eos
+        )
+        assert finished, "no finished sequences"
+        best = finished[0][0]
+        assert best == [1, 7, 9, 11, eos]
+
+    def test_max_len_terminates(self):
+        vocab = 10
+
+        def scorer(ids, memory):
+            logits = np.zeros((ids.shape[0], vocab), np.float32)
+            logits[:, 3] = 5.0  # never EOS
+            return jnp.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
+
+        finished = beam_search(
+            scorer, jnp.zeros((1, 2, 4)), beam_width=2, max_len=6, bos=1, eos=0
+        )
+        # nothing can finish; search must still terminate
+        assert finished == [] or all(len(s) <= 6 for s, _ in finished)
