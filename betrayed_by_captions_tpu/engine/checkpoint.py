@@ -1,0 +1,100 @@
+"""Checkpoint save/restore with rotation and auto-resume.
+
+TPU-native equivalent of mmcv's CheckpointHook + runner.resume
+(reference configs/instance/coco_b48n17.py:309-310: per-epoch, save_last,
+max_keep_ckpts=2; open_set/apis/train.py:234-244): orbax checkpoints of
+the full train state (params + optimizer state + step) plus a
+weights-only load path for stage-2 initialization from stage-1
+(init_cfg=Pretrained, coco_b48n17.py:14,187).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _manager(ckpt_dir: str, max_keep: int = 2) -> ocp.CheckpointManager:
+    return ocp.CheckpointManager(
+        os.path.abspath(ckpt_dir),
+        options=ocp.CheckpointManagerOptions(
+            max_to_keep=max_keep, create=True
+        ),
+    )
+
+
+def save_checkpoint(ckpt_dir: str, state, step: int, max_keep: int = 2):
+    """Save params/opt_state/step (TrainState sans the tx closure)."""
+    mgr = _manager(ckpt_dir, max_keep)
+    payload = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "step": np.asarray(state.step),
+    }
+    mgr.save(step, args=ocp.args.StandardSave(payload))
+    mgr.wait_until_finished()
+    mgr.close()
+
+
+def latest_step(ckpt_dir: str) -> Optional[int]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    mgr = _manager(ckpt_dir)
+    step = mgr.latest_step()
+    mgr.close()
+    return step
+
+
+def restore_checkpoint(ckpt_dir: str, state, step: Optional[int] = None):
+    """Restore a full TrainState (auto-resume path). Returns new state."""
+    mgr = _manager(ckpt_dir)
+    if step is None:
+        step = mgr.latest_step()
+    if step is None:
+        mgr.close()
+        return state, 0
+    template = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "step": np.asarray(state.step),
+    }
+    restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    mgr.close()
+    new_state = state.replace(
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+        step=jax.numpy.asarray(restored["step"]),
+    )
+    return new_state, int(step)
+
+
+def save_params(path: str, params):
+    """Weights-only save (numpy .npz of the flattened tree)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    arrays = {}
+    for keypath, leaf in flat:
+        name = "/".join(str(getattr(k, "key", k)) for k in keypath)
+        arrays[name] = np.asarray(leaf)
+    np.savez(path, **arrays)
+
+
+def load_params(path: str, params_template):
+    """Weights-only load into a matching param tree (stage-2 init)."""
+    data = np.load(path)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params_template)
+    leaves = []
+    for keypath, leaf in flat:
+        name = "/".join(str(getattr(k, "key", k)) for k in keypath)
+        if name in data:
+            arr = data[name]
+            assert arr.shape == leaf.shape, f"{name}: {arr.shape} vs {leaf.shape}"
+            leaves.append(arr.astype(leaf.dtype))
+        else:
+            leaves.append(leaf)  # missing keys keep their init (partial load)
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(params_template), leaves
+    )

@@ -1,0 +1,91 @@
+"""Evaluation loop: jitted inference over the val set + host post-processing
+and the OVIS/OSPS protocols.
+
+TPU-native replacement for the reference's single/multi_gpu_test
+(open_set/apis/test.py:17-130) + dataset.evaluate: the device runs the
+model forward in static shape buckets; the host crops/rescales mask
+logits, runs the per-eval-type open-vocabulary post-processing, RLE-encodes
+results and feeds the evaluators. No cross-process result collection is
+needed — a single host drives the device mesh.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..models.class_banks import ClassEmbeddingBanks
+from ..models.detector import build_detector
+
+
+def evaluate(
+    cfg: Config,
+    params,
+    work_dir: Optional[str] = None,
+    max_images: Optional[int] = None,
+) -> Dict[str, float]:
+    from ..evaluation.ovis import postprocess_instance_host
+    from .train_loop import build_banks, build_dataset
+
+    banks = build_banks(cfg)
+    model_cfg = dict(cfg.model)
+    model_cfg.setdefault("num_classes", banks.num_base)
+    model = build_detector(Config.fromdict(model_cfg))
+
+    val_cfg = dict(cfg.data.val)
+    val_cfg["test_mode"] = True
+    dataset = build_dataset(Config.fromdict(val_cfg), train=False)
+
+    eval_types = tuple(
+        cfg.get("eval_types", ("all_results", "novel_results", "base_results"))
+    )
+    bank_by_type = {
+        "all_results": banks.all_bank,
+        "novel_results": banks.novel_bank,
+        "base_results": banks.base_bank,
+    }
+    names_by_type = {
+        "all_results": banks.names_all,
+        "novel_results": banks.names_novel,
+        "base_results": banks.names_base,
+    }
+
+    forward = jax.jit(lambda p, x: model.apply({"params": p}, x))
+
+    n = len(dataset) if max_images is None else min(max_images, len(dataset))
+    results_per_type: Dict[str, List[dict]] = {et: [] for et in eval_types}
+    for idx in range(n):
+        image, meta = dataset[idx]
+        out = forward(params, jnp.asarray(image[None]))
+        cls_emb = np.asarray(out["cls_emb_preds"][-1][0])
+        masks = np.asarray(out["mask_preds"][-1][0])
+        for et in eval_types:
+            labels, scores, boxes, bmasks = postprocess_instance_host(
+                cls_emb,
+                masks,
+                bank_by_type[et],
+                img_shape=meta["img_shape"],
+                ori_shape=meta["ori_shape"],
+                pad_shape=meta["pad_shape"],
+                max_per_image=cfg.get("max_per_image", 100),
+            )
+            results_per_type[et].append(
+                dict(labels=labels, scores=scores, boxes=boxes, masks=bmasks)
+            )
+
+    metrics = dataset.evaluate(
+        results_per_type,
+        {et: names_by_type[et] for et in eval_types},
+        metrics=tuple(cfg.get("metrics", ("segm", "bbox"))),
+    )
+    if work_dir:
+        import json
+
+        with open(os.path.join(work_dir, "eval.json"), "w") as f:
+            json.dump({k: float(v) for k, v in metrics.items()}, f, indent=2)
+    return metrics

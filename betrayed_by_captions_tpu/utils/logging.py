@@ -1,0 +1,88 @@
+"""Training metric logging: console + JSONL, iteration timing.
+
+TPU equivalent of mmcv's TextLoggerHook/TensorboardLoggerHook +
+IterTimerHook (reference configs/instance/coco_b48n17.py:302-307; hooks
+registered at open_set/apis/train.py:192-198): per-interval loss dicts
+with `time`/`data_time`, appended to <work_dir>/metrics.jsonl. Optional
+``jax.profiler`` trace capture around a chosen step window (the tracing
+subsystem the reference lacks, SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+
+class MetricLogger:
+    def __init__(self, work_dir: Optional[str] = None, interval: int = 50):
+        self.interval = interval
+        self.work_dir = work_dir
+        self._file = None
+        if work_dir:
+            os.makedirs(work_dir, exist_ok=True)
+            self._file = open(os.path.join(work_dir, "metrics.jsonl"), "a")
+        self._accum: Dict[str, float] = {}
+        self._count = 0
+        self._last_time = time.perf_counter()
+        self._data_time = 0.0
+
+    def data_tick(self):
+        """Call right after the batch is produced (measures data_time)."""
+        now = time.perf_counter()
+        self._data_time += now - self._last_time
+        self._last_time = now
+
+    def log_step(self, step: int, metrics: Dict[str, float], lr: float = None):
+        for k, v in metrics.items():
+            self._accum[k] = self._accum.get(k, 0.0) + float(v)
+        self._count += 1
+        if step % self.interval != 0 or self._count == 0:
+            self._last_time = time.perf_counter()
+            return
+        now = time.perf_counter()
+        record = {k: v / self._count for k, v in self._accum.items()}
+        record["step"] = int(step)
+        record["data_time"] = self._data_time / self._count
+        record["time"] = (now - self._last_time) / self._count + record["data_time"]
+        if lr is not None:
+            record["lr"] = float(lr)
+        short = ", ".join(
+            f"{k}={v:.4f}"
+            for k, v in record.items()
+            if k in ("loss", "loss_cls_emb", "loss_mask", "loss_dice", "time", "lr")
+        )
+        print(f"[step {step}] {short}", flush=True)
+        if self._file:
+            self._file.write(json.dumps(record) + "\n")
+            self._file.flush()
+        self._accum = {}
+        self._count = 0
+        self._data_time = 0.0
+        self._last_time = time.perf_counter()
+
+
+class ProfilerHook:
+    """Capture a jax.profiler trace for steps [start, stop)."""
+
+    def __init__(self, log_dir: str, start_step: int, stop_step: int):
+        self.log_dir = log_dir
+        self.start_step = start_step
+        self.stop_step = stop_step
+        self._active = False
+
+    def before_step(self, step: int):
+        import jax
+
+        if step == self.start_step and not self._active:
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+
+    def after_step(self, step: int):
+        import jax
+
+        if step + 1 == self.stop_step and self._active:
+            jax.profiler.stop_trace()
+            self._active = False

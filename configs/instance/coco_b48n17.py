@@ -1,0 +1,85 @@
+# OVIS finetuning: COCO 48 base / 17 novel open-vocabulary instance
+# segmentation (reference configs/instance/coco_b48n17.py).
+_base_ = ["../_base_/default_runtime.py"]
+
+_asset_dir = "betrayed_by_captions_tpu/assets"
+data_root = "data/coco/"
+
+assets = dict(
+    class_to_emb_file=f"{_asset_dir}/embeddings/coco_class_with_bert_emb.json",
+    known_file=f"{_asset_dir}/splits/known_65.txt",
+    unknown_file=f"{_asset_dir}/splits/unknown_17.txt",
+)
+
+model = dict(
+    num_queries=100,
+    feat_channels=256,
+    emb_dim=768,
+    num_decoder_layers=9,
+    backbone_depth=50,
+    use_class_emb=True,
+    use_caption_generation=True,
+    pred_emb_norm=False,
+    vocab_size=30522,
+    max_caption_len=35,
+)
+
+criterion = dict(
+    softmax_temperature=10.0,
+    bg_class_weight=0.1,
+    cost_cls=0.0,
+    cost_cls_emb=2.0,
+    cost_mask=5.0,
+    cost_dice=5.0,
+    loss_cls=0.0,
+    loss_cls_emb=2.0,
+    loss_grounding=2.0,
+    loss_caption_generation=2.0,
+    loss_mask=5.0,
+    loss_dice=5.0,
+    use_class_emb=True,
+    use_caption=True,
+    use_caption_generation=True,
+)
+
+optimizer = dict(
+    lr=1e-4,
+    weight_decay=0.05,
+    grad_clip=0.01,
+    backbone_lr_mult=0.1,
+    frozen_backbone_stages=3,
+    warmup_iters=10,
+    warmup_ratio=1.0,
+    lr_steps=(70000, 80000),
+    lr_gamma=0.1,
+)
+
+data = dict(
+    samples_per_device=2,
+    workers=4,
+    train=dict(
+        type="CocoDatasetOpen",
+        ann_file=data_root + "annotations/instances_train2017.json",
+        caption_ann_file=data_root + "annotations/captions_train2017.json",
+        img_prefix=data_root + "train2017/",
+        known_file=assets["known_file"],
+        unknown_file=assets["unknown_file"],
+        filter_empty_gt=False,
+        image_size=(1024, 1024),
+        max_instances=100,
+    ),
+    val=dict(
+        type="CocoDatasetOpen",
+        ann_file=data_root + "annotations/instances_val2017.json",
+        img_prefix=data_root + "val2017/",
+        known_file=assets["known_file"],
+        unknown_file=assets["unknown_file"],
+    ),
+)
+
+eval_types = ("all_results", "novel_results", "base_results")
+metrics = ("segm", "bbox")
+max_epochs = 12
+eval_interval = 12
+# stage-2 initialization from class-agnostic pretraining
+init_from = "work_dirs/coco_ag_pretrain_3x/params.npz"

@@ -1,0 +1,171 @@
+"""Checkpoint-porting test: a synthetic mmdet-style state dict with the
+reference architecture's exact shapes must convert into a tree that
+matches the flagship model's initialized params (no missing keys, no
+shape mismatches)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from betrayed_by_captions_tpu.engine.porting import (
+    convert_reference_state_dict,
+    convert_torchvision_resnet,
+    verify_against_template,
+)
+from betrayed_by_captions_tpu.models.detector import Mask2FormerOpen
+
+
+def resnet50_state_dict(prefix=""):
+    sd = {}
+    rs = np.random.RandomState(0)
+
+    def add(name, *shape):
+        sd[prefix + name] = rs.randn(*shape).astype(np.float32)
+
+    def add_bn(name, c):
+        for suffix, shape in [
+            ("weight", (c,)),
+            ("bias", (c,)),
+            ("running_mean", (c,)),
+            ("running_var", (c,)),
+        ]:
+            sd[f"{prefix}{name}.{suffix}"] = rs.randn(*shape).astype(np.float32)
+
+    add("conv1.weight", 64, 3, 7, 7)
+    add_bn("bn1", 64)
+    stage_blocks = [("layer1", 3, 64, 64), ("layer2", 4, 256, 128),
+                    ("layer3", 6, 512, 256), ("layer4", 3, 1024, 512)]
+    for stage, n, in_c, mid in stage_blocks:
+        for b in range(n):
+            cin = in_c if b == 0 else mid * 4
+            add(f"{stage}.{b}.conv1.weight", mid, cin, 1, 1)
+            add_bn(f"{stage}.{b}.bn1", mid)
+            add(f"{stage}.{b}.conv2.weight", mid, mid, 3, 3)
+            add_bn(f"{stage}.{b}.bn2", mid)
+            add(f"{stage}.{b}.conv3.weight", mid * 4, mid, 1, 1)
+            add_bn(f"{stage}.{b}.bn3", mid * 4)
+            if b == 0:
+                add(f"{stage}.{b}.downsample.0.weight", mid * 4, cin, 1, 1)
+                add_bn(f"{stage}.{b}.downsample.1", mid * 4)
+    return sd
+
+
+def reference_state_dict():
+    """Full mmdet Mask2FormerOpen shapes (flagship config)."""
+    sd = resnet50_state_dict("backbone.")
+    rs = np.random.RandomState(1)
+
+    def add(name, *shape):
+        sd[name] = rs.randn(*shape).astype(np.float32)
+
+    hp, pd = "panoptic_head", "panoptic_head.pixel_decoder"
+    for i, in_c in enumerate([2048, 1024, 512]):
+        add(f"{pd}.input_convs.{i}.conv.weight", 256, in_c, 1, 1)
+        add(f"{pd}.input_convs.{i}.conv.bias", 256)
+        add(f"{pd}.input_convs.{i}.gn.weight", 256)
+        add(f"{pd}.input_convs.{i}.gn.bias", 256)
+    for li in range(6):
+        sp = f"{pd}.encoder.layers.{li}"
+        add(f"{sp}.attentions.0.sampling_offsets.weight", 192, 256)
+        add(f"{sp}.attentions.0.sampling_offsets.bias", 192)
+        add(f"{sp}.attentions.0.attention_weights.weight", 96, 256)
+        add(f"{sp}.attentions.0.attention_weights.bias", 96)
+        add(f"{sp}.attentions.0.value_proj.weight", 256, 256)
+        add(f"{sp}.attentions.0.value_proj.bias", 256)
+        add(f"{sp}.attentions.0.output_proj.weight", 256, 256)
+        add(f"{sp}.attentions.0.output_proj.bias", 256)
+        add(f"{sp}.ffns.0.layers.0.0.weight", 1024, 256)
+        add(f"{sp}.ffns.0.layers.0.0.bias", 1024)
+        add(f"{sp}.ffns.0.layers.1.weight", 256, 1024)
+        add(f"{sp}.ffns.0.layers.1.bias", 256)
+        for ni in range(2):
+            add(f"{sp}.norms.{ni}.weight", 256)
+            add(f"{sp}.norms.{ni}.bias", 256)
+    add(f"{pd}.level_encoding.weight", 3, 256)
+    add(f"{pd}.lateral_convs.0.conv.weight", 256, 256, 1, 1)
+    add(f"{pd}.lateral_convs.0.conv.bias", 256)
+    add(f"{pd}.lateral_convs.0.gn.weight", 256)
+    add(f"{pd}.lateral_convs.0.gn.bias", 256)
+    add(f"{pd}.output_convs.0.conv.weight", 256, 256, 3, 3)
+    add(f"{pd}.output_convs.0.conv.bias", 256)
+    add(f"{pd}.output_convs.0.gn.weight", 256)
+    add(f"{pd}.output_convs.0.gn.bias", 256)
+    add(f"{pd}.mask_feature.weight", 256, 256, 3, 3)
+    add(f"{pd}.mask_feature.bias", 256)
+
+    for li in range(9):
+        sp = f"{hp}.transformer_decoder.layers.{li}"
+        for ai in range(2):
+            add(f"{sp}.attentions.{ai}.attn.in_proj_weight", 768, 256)
+            add(f"{sp}.attentions.{ai}.attn.in_proj_bias", 768)
+            add(f"{sp}.attentions.{ai}.attn.out_proj.weight", 256, 256)
+            add(f"{sp}.attentions.{ai}.attn.out_proj.bias", 256)
+        add(f"{sp}.ffns.0.layers.0.0.weight", 2048, 256)
+        add(f"{sp}.ffns.0.layers.0.0.bias", 2048)
+        add(f"{sp}.ffns.0.layers.1.weight", 256, 2048)
+        add(f"{sp}.ffns.0.layers.1.bias", 256)
+        for ni in range(3):
+            add(f"{sp}.norms.{ni}.weight", 256)
+            add(f"{sp}.norms.{ni}.bias", 256)
+    add(f"{hp}.transformer_decoder.post_norm.weight", 256)
+    add(f"{hp}.transformer_decoder.post_norm.bias", 256)
+    add(f"{hp}.query_embed.weight", 100, 256)
+    add(f"{hp}.query_feat.weight", 100, 256)
+    add(f"{hp}.level_embed.weight", 3, 256)
+    add(f"{hp}.cls_embed.weight", 49, 256)
+    add(f"{hp}.cls_embed.bias", 49)
+    for i in [0, 2, 4]:
+        add(f"{hp}.mask_embed.{i}.weight", 256, 256)
+        add(f"{hp}.mask_embed.{i}.bias", 256)
+    add(f"{hp}.v2l_transform.weight", 768, 256)
+    add(f"{hp}.v2l_transform.bias", 768)
+
+    cg = f"{hp}.caption_generator"
+    for li in range(4):
+        sp = f"{cg}.transformer_decoder.decoders.{li}"
+        add(f"{sp}.mha_layer.qkv_layer.weight", 2304, 768)
+        add(f"{sp}.mha_layer.qkv_layer.bias", 2304)
+        add(f"{sp}.mha_layer.out_layer.weight", 768, 768)
+        add(f"{sp}.mha_layer.out_layer.bias", 768)
+        for t in ["to_qry", "to_key", "to_val", "to_out"]:
+            add(f"{sp}.crx_layer.{t}.weight", 768, 768)
+            add(f"{sp}.crx_layer.{t}.bias", 768)
+        add(f"{sp}.ffn_layer.linears.0.0.weight", 512, 768)
+        add(f"{sp}.ffn_layer.linears.0.0.bias", 512)
+        add(f"{sp}.ffn_layer.linears.1.0.weight", 768, 512)
+        add(f"{sp}.ffn_layer.linears.1.0.bias", 768)
+        for blk in ["mha", "crx", "ffn"]:
+            add(f"{sp}.layer_normalz.{blk}.1.weight", 768)
+            add(f"{sp}.layer_normalz.{blk}.1.bias", 768)
+    add(f"{cg}.generator.weight", 30522, 768)
+    add(f"{cg}.generator.bias", 30522)
+    return sd
+
+
+@pytest.mark.slow
+class TestPorting:
+    def test_full_flagship_roundtrip(self):
+        model = Mask2FormerOpen(num_classes=48)
+        params = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 64, 64, 3)),
+            method="init_forward",
+        )["params"]
+        converted = convert_reference_state_dict(reference_state_dict())
+        missing, extra, mismatched = verify_against_template(converted, params)
+        assert not missing, f"missing: {missing[:10]}"
+        assert not extra, f"extra: {extra[:10]}"
+        assert not mismatched, f"mismatched: {mismatched[:10]}"
+
+    def test_torchvision_backbone(self):
+        from betrayed_by_captions_tpu.models.resnet import ResNet
+
+        bb = ResNet(depth=50)
+        params = bb.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))[
+            "params"
+        ]
+        converted = convert_torchvision_resnet(resnet50_state_dict())
+        missing, extra, mismatched = verify_against_template(converted, params)
+        assert not missing and not extra and not mismatched
