@@ -2,7 +2,10 @@ from .tokenizer import WordPieceTokenizer, load_tokenizer
 from .parser import LVISParser, POSParser, build_parser
 from .transforms import TrainTransform, TestTransform
 from .coco import CocoDatasetOpen
-from .loader import DataLoader
+from .coco_panoptic import CocoPanopticDatasetOpen
+from .ade20k import ADE20KDataset
+from .loader import DataLoader, ClassBalancedDataset
+from .panoptic_codec import rgb2id, id2rgb
 
 __all__ = [
     "WordPieceTokenizer",
@@ -13,5 +16,10 @@ __all__ = [
     "TrainTransform",
     "TestTransform",
     "CocoDatasetOpen",
+    "CocoPanopticDatasetOpen",
+    "ADE20KDataset",
     "DataLoader",
+    "ClassBalancedDataset",
+    "rgb2id",
+    "id2rgb",
 ]

@@ -136,22 +136,22 @@ class TestTrainLoopSmoke:
         cats = [{"id": 1, "name": "person"}, {"id": 2, "name": "dog"}]
         ann_id = 1
         for i in range(8):
-            h, w = 96, 96
+            h, w = 64, 64
             img = (np.random.RandomState(i).rand(h, w, 3) * 255).astype(np.uint8)
             cv2.imwrite(str(root / f"img{i}.jpg"), img)
             images.append(
                 {"id": i + 1, "file_name": f"img{i}.jpg", "height": h, "width": w}
             )
             m = np.zeros((h, w), np.uint8)
-            m[20:60, 20:60] = 1
+            m[16:48, 16:48] = 1
             annotations.append(
                 {
                     "id": ann_id,
                     "image_id": i + 1,
                     "category_id": (i % 2) + 1,
                     "segmentation": rle_codec.encode(m),
-                    "bbox": [20, 20, 40, 40],
-                    "area": 1600,
+                    "bbox": [16, 16, 32, 32],
+                    "area": 1024,
                     "iscrowd": 0,
                 }
             )
@@ -181,15 +181,16 @@ class TestTrainLoopSmoke:
             dict(
                 assets=dict(class_to_emb_file=str(root / "class_emb.json")),
                 model=dict(
-                    num_queries=8,
+                    num_queries=6,
                     feat_channels=32,
                     emb_dim=emb_dim,
-                    num_decoder_layers=3,
+                    num_decoder_layers=2,
+                    caption_num_layers=2,
                     use_caption_generation=True,
                     vocab_size=200,
                     max_caption_len=35,
                 ),
-                criterion=dict(num_points=32),
+                criterion=dict(num_points=16),
                 optimizer=dict(lr=1e-4),
                 data=dict(
                     samples_per_device=1,
@@ -199,7 +200,7 @@ class TestTrainLoopSmoke:
                         ann_file=str(root / "inst.json"),
                         caption_ann_file=str(root / "caps.json"),
                         img_prefix=str(root),
-                        image_size=(96, 96),
+                        image_size=(64, 64),
                         max_instances=4,
                     ),
                 ),

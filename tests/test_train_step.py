@@ -30,7 +30,8 @@ def tiny_model():
         num_queries=8,
         feat_channels=32,
         emb_dim=EMB_DIM,
-        num_decoder_layers=3,
+        num_decoder_layers=2,
+        caption_num_layers=2,
         use_caption_generation=True,
         vocab_size=VOCAB,
         max_caption_len=T_CAP,
@@ -40,12 +41,12 @@ def tiny_model():
 def tiny_criterion():
     return CriterionConfig(
         num_classes=NUM_CLASSES,
-        num_points=32,
+        num_points=16,
         softmax_temperature=10.0,
     )
 
 
-def make_batch(rng, batch_size, h=64, w=64):
+def make_batch(rng, batch_size, h=48, w=48):
     masks = np.zeros((batch_size, MAX_INST, h, w), np.float32)
     labels = np.full((batch_size, MAX_INST), -1, np.int32)
     num_gts = np.zeros((batch_size,), np.int32)
@@ -90,17 +91,16 @@ def setup():
         [rng.randn(NUM_CLASSES, EMB_DIM), np.zeros((1, EMB_DIM))]
     ).astype(np.float32)
     bert = BertWordEmbeddings(synthetic_bert_assets(VOCAB, EMB_DIM))
-    return model, params, batch, bank, bert
+    # one shared compiled step: both tests use identical shapes
+    step = make_train_step(model, tiny_criterion(), bank, bert, donate=False)
+    return model, params, batch, bank, bert, step
 
 
 class TestTrainStep:
     def test_one_step_losses_finite_and_updates(self, setup):
-        model, params, batch, bank, bert = setup
+        model, params, batch, bank, bert, step = setup
         tx, _ = build_optimizer(params, OptimizerConfig())
         state = create_train_state(params, tx)
-        step = make_train_step(
-            model, tiny_criterion(), bank, bert, donate=False
-        )
         mesh = create_mesh()
         sharded = shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh)
         new_state, metrics = step(state, sharded, jax.random.PRNGKey(1))
@@ -140,14 +140,13 @@ class TestTrainStep:
     def test_empty_gt_batch(self, setup):
         """Images with zero GT instances must not produce NaNs
         (reference empty-GT path, mask2former_head.py:598-602)."""
-        model, params, batch, bank, bert = setup
+        model, params, batch, bank, bert, step = setup
         batch = dict(batch)
         batch["num_gts"] = np.zeros_like(batch["num_gts"])
         batch["gt_labels"] = np.full_like(batch["gt_labels"], -1)
         batch["gt_masks"] = np.zeros_like(batch["gt_masks"])
         tx, _ = build_optimizer(params, OptimizerConfig())
         state = create_train_state(params, tx)
-        step = make_train_step(model, tiny_criterion(), bank, bert, donate=False)
         _, metrics = step(
             state,
             {k: jnp.asarray(v) for k, v in batch.items()},
