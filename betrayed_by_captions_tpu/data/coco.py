@@ -59,7 +59,12 @@ class CocoDatasetOpen:
         self.class_agnostic = class_agnostic
         self.test_mode = test_mode
         self.eval_types = tuple(eval_types)
-        self.rng = np.random.RandomState(seed)
+        # per-item RNGs are derived from (seed, epoch, idx) in
+        # get_train_sample — stateless, so thread-pool workers never share
+        # RandomState (np RandomState is not thread-safe) and sampling is
+        # reproducible regardless of worker scheduling
+        self.seed = seed
+        self.epoch = 0
 
         self.coco_caption = (
             COCOJson(caption_ann_file) if caption_ann_file else None
@@ -138,11 +143,16 @@ class CocoDatasetOpen:
             return np.stack(masks), np.asarray(labels, np.int32)
         return np.zeros((0, h, w), np.uint8), np.zeros((0,), np.int32)
 
-    def sample_caption(self, img_id: int) -> Tuple[str, str]:
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def sample_caption(
+        self, img_id: int, rng: np.random.RandomState
+    ) -> Tuple[str, str]:
         anns = self.coco_caption.img_to_anns.get(img_id, [])
         if not anns:
             return "", ""
-        caption = anns[self.rng.randint(0, len(anns))]["caption"]
+        caption = anns[rng.randint(0, len(anns))]["caption"]
         nouns, _ = self.parser.parse(caption)
         return caption, " ".join(sorted(set(nouns)))
 
@@ -167,9 +177,13 @@ class CocoDatasetOpen:
         info = self.data_infos[idx]
         image = self._load_image(info)
         masks, labels = self.parse_instances(img_id, info)
-        sample = self.train_transform(image, masks, labels, self.rng)
+        # fresh per-(epoch, item) RNG: thread-safe + schedule-independent
+        rng = np.random.RandomState(
+            np.uint32(self.seed * 1000003 + self.epoch * 9176 + idx)
+        )
+        sample = self.train_transform(image, masks, labels, rng)
         if self.coco_caption is not None:
-            caption, nouns = self.sample_caption(img_id)
+            caption, nouns = self.sample_caption(img_id, rng)
             ids, mask, n_ids, n_mask = self.tokenize_caption(caption, nouns)
         else:
             ids = np.zeros((MAX_TOKENS,), np.int32)

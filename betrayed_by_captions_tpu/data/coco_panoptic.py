@@ -56,7 +56,10 @@ class CocoPanopticDatasetOpen:
         self.seg_prefix = seg_prefix
         self.class_agnostic = class_agnostic
         self.test_mode = test_mode
-        self.rng = np.random.RandomState(seed)
+        # per-item RNGs derived from (seed, epoch, idx) in get_train_sample:
+        # thread-safe and schedule-independent (see data/coco.py)
+        self.seed = seed
+        self.epoch = 0
 
         self.coco_caption = COCOJson(caption_ann_file) if caption_ann_file else None
         if self.coco_caption is not None:
@@ -148,16 +151,22 @@ class CocoPanopticDatasetOpen:
         h, w = pan.shape
         return np.zeros((0, h, w), np.uint8), np.zeros((0,), np.int32)
 
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
     def get_train_sample(self, idx: int) -> Dict[str, np.ndarray]:
         img_id = self.img_ids[idx]
         info = self.data_infos[idx]
         image = self._load_image(info)
         masks, labels = self.parse_panoptic_gt(img_id)
-        sample = self.train_transform(image, masks, labels, self.rng)
+        rng = np.random.RandomState(
+            np.uint32(self.seed * 1000003 + self.epoch * 9176 + idx)
+        )
+        sample = self.train_transform(image, masks, labels, rng)
         if self.coco_caption is not None:
             anns = self.coco_caption.img_to_anns.get(img_id, [])
             caption = (
-                anns[self.rng.randint(0, len(anns))]["caption"] if anns else ""
+                anns[rng.randint(0, len(anns))]["caption"] if anns else ""
             )
             nouns, _ = self.parser.parse(caption)
             ids, mask = self.tokenizer.encode(caption, MAX_TOKENS)

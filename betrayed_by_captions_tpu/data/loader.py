@@ -46,6 +46,8 @@ class DataLoader:
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def _indices(self) -> np.ndarray:
         idx = np.arange(len(self.dataset))

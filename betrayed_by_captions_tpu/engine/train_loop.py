@@ -127,7 +127,12 @@ def train(cfg: Config, work_dir: str, resume: bool = False):
         start_epoch = step
         print(f"resumed from epoch {step}")
 
-    bert = BertWordEmbeddings(load_bert_assets(cfg.get("bert_assets")))
+    bert = BertWordEmbeddings(
+        load_bert_assets(
+            cfg.get("bert_assets"),
+            allow_synthetic=cfg.get("allow_synthetic_bert", False),
+        )
+    )
     crit = criterion_from_cfg(cfg, banks.num_base)
     step_fn = make_train_step(model, crit, banks.train_bank, bert)
 

@@ -4,9 +4,16 @@ TPU-native replacement for the reference's runner iteration
 (mmcv EpochBasedRunner.train -> model.train_step -> OptimizerHook;
 SURVEY.md §3.1): ONE pjit-compiled function covers forward, target
 assignment (on-device Hungarian), all losses, backward, grad clip and the
-AdamW update. Data parallelism: inputs arrive batch-sharded over the
-``data`` mesh axis; parameters are replicated; XLA inserts the gradient
-reductions and the grounding loss's cross-device gathers.
+AdamW update.
+
+Data parallelism is explicit SPMD via ``jax.shard_map`` (pass ``mesh``):
+the per-device body runs forward + matching + losses on its local batch
+shard with manually-placed collectives — an ``all_gather`` for the
+grounding loss's global BxB contrastive matrix, ``psum`` for loss
+normalizers and the gradient reduction. Nothing is left to the SPMD
+partitioner, so the data-dependent Hungarian while-loop can never end up
+straddling a collective (the round-1 8-device rendezvous deadlock).
+Every loss value equals the single-device global-batch value exactly.
 """
 
 from __future__ import annotations
@@ -16,6 +23,7 @@ from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..losses.criterion import CriterionConfig, compute_losses
 from ..models.bert import BertWordEmbeddings
@@ -28,11 +36,22 @@ def make_train_step(
     train_bank,
     bert: Optional[BertWordEmbeddings] = None,
     donate: bool = True,
+    mesh: Optional[Mesh] = None,
+    axis_name: str = "data",
+    caption_dropout: bool = True,
 ):
-    """Build the jitted train step: (state, batch, rng) -> (state, metrics)."""
+    """Build the jitted train step: (state, batch, rng) -> (state, metrics).
+
+    Args:
+        mesh: if given, run data-parallel over ``axis_name`` via shard_map
+            (batch sharded on its leading dim, params/opt state replicated).
+        caption_dropout: disable to make the caption decoder deterministic
+            (the 1-device == n-device equality test uses this: dropout
+            masks are drawn per local batch, the only non-invariant RNG).
+    """
     train_bank = jnp.asarray(train_bank)
 
-    def loss_fn(params, batch, rng):
+    def loss_fn(params, batch, rng, axis=None):
         outputs = model.apply({"params": params}, batch["image"])
 
         caption_apply = None
@@ -48,7 +67,7 @@ def make_train_step(
                     tgt_embs,
                     memory,
                     pad_mask,
-                    False,  # deterministic
+                    not caption_dropout,  # deterministic flag
                     method="caption_forward",
                     rngs={"dropout": drop_rng},
                 )
@@ -62,13 +81,50 @@ def make_train_step(
             criterion_cfg,
             caption_apply=caption_apply,
             caption_embed=caption_embed,
+            axis_name=axis,
         )
         return total, loss_dict
 
+    if mesh is None:
+
+        def train_step(state: TrainState, batch, rng):
+            (total, loss_dict), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, batch, rng)
+            new_state = state.apply_gradients(grads)
+            metrics = {"loss": total, **loss_dict}
+            return new_state, metrics
+
+        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+    # ---- explicit-SPMD data-parallel path ----
+    def device_grads(params, batch, rng):
+        (total, loss_dict), grads = jax.value_and_grad(
+            partial(loss_fn, axis=axis_name), has_aux=True
+        )(params, batch, rng)
+        # loss values are already global (psum'd normalizers inside);
+        # pmean is a numeric no-op that marks them replicated. Grad terms
+        # are per-device shards of the global gradient -> psum.
+        grads = jax.lax.psum(grads, axis_name)
+        total = jax.lax.pmean(total, axis_name)
+        loss_dict = jax.lax.pmean(loss_dict, axis_name)
+        return total, loss_dict, grads
+
+    # check_vma=False: the Hungarian JV solver's while_loop carries mix
+    # varying (cost-derived) and unvarying (counter/index) values, which the
+    # varying-manual-axes type checker rejects; the collective semantics
+    # (psum/all_gather placed manually below and in the criterion) do not
+    # depend on the checker.
+    sharded_grads = jax.shard_map(
+        device_grads,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+
     def train_step(state: TrainState, batch, rng):
-        (total, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, rng
-        )
+        total, loss_dict, grads = sharded_grads(state.params, batch, rng)
         new_state = state.apply_gradients(grads)
         metrics = {"loss": total, **loss_dict}
         return new_state, metrics

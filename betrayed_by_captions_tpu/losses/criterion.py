@@ -11,12 +11,17 @@ TPU-native re-design of the reference's loss stack
   vmapped over (layers x images) inside the jitted train step,
 - variable-length GT lists become fixed-size arrays + validity masks
   (``num_gts``), so shapes are static,
-- the grounding loss's cross-rank all_gather disappears: under pjit the
-  criterion sees the global batch (losses/grounding.py),
-- global normalizers (num_total_masks, class-weight avg factors) are
-  computed over the global batch; this matches the reference's
-  reduce_mean + DDP-grad-average semantics for mask losses and is a
-  negligible reweighting for the CE avg factors.
+- data parallelism is explicit, not partitioner-inferred: with
+  ``axis_name`` set (the train step runs this under ``jax.shard_map``
+  over the data mesh axis), matching and per-image losses stay
+  device-local, the grounding loss all_gathers query/noun embeddings over
+  the axis (exactly the reference's ``dist.all_gather``,
+  mask2former_head.py:650-684), and every normalizer (num_total_masks,
+  class-weight avg factors, caption token counts) is a cross-device psum
+  — so each loss value equals the single-device global-batch value
+  bit-for-bit (per-image RNG keys are folded from global image indices).
+  The data-dependent Hungarian while-loop therefore never interacts with
+  a collective (the round-1 8-device rendezvous deadlock).
 
 Cost terms match configs/instance/coco_b48n17.py:171-176 (cls 0.0,
 cls_emb 2.0, mask/BCE 5.0, dice 5.0); loss weights match :102-142.
@@ -35,8 +40,8 @@ from ..ops.point_sample import point_sample
 from ..ops.uncertainty import get_uncertain_point_coords_with_randomness
 from .cross_entropy import (
     binary_ce_with_logits,
-    ignore_index_ce_loss,
-    weighted_softmax_ce_loss,
+    ignore_index_ce_sum,
+    weighted_softmax_ce_sum,
 )
 from .dice import naive_dice_loss
 from .grounding import grounding_loss
@@ -120,12 +125,14 @@ def _assign_layer(
     gt_masks: jnp.ndarray,  # (B, G, H, W)
     num_gts: jnp.ndarray,  # (B,)
     cfg: CriterionConfig,
+    img_idx: jnp.ndarray,  # (B,) global image indices for RNG folding
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Hungarian assignment for one decoder layer over the batch.
 
     Returns (labels (B, Q), mask_weights (B, Q), assigned (B, Q))."""
-    b = cls_scores.shape[0]
-    keys = jax.random.split(rng, b)
+    # per-image keys derive from the GLOBAL image index, so data-parallel
+    # shards draw the same points as a single-device global-batch run
+    keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(img_idx)
 
     def per_image(key, cls_s, emb_l, mask_p, g_labels, g_masks, n):
         coords = jax.random.uniform(key, (cfg.num_points, 2))
@@ -159,18 +166,27 @@ def _mask_losses(
     assigned: jnp.ndarray,  # (B, Q) clipped gt index
     num_total_masks: jnp.ndarray,
     cfg: CriterionConfig,
+    img_idx: jnp.ndarray,  # (B,) global image indices
+    psum: Callable[[jnp.ndarray], jnp.ndarray],
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Point-sampled dice + BCE losses (reference :591-627)."""
-    b, q, h, w = mask_preds.shape
-    flat_preds = mask_preds.reshape(b * q, h, w)
-    coords = get_uncertain_point_coords_with_randomness(
-        rng,
-        jax.lax.stop_gradient(flat_preds),
-        cfg.num_points,
-        cfg.oversample_ratio,
-        cfg.importance_sample_ratio,
-    )  # (B*Q, P, 2)
+    """Point-sampled dice + BCE losses (reference :591-627).
 
+    Numerators are psum'd across the data axis; ``num_total_masks`` is
+    already global, so loss values are data-parallel invariant."""
+    b, q, h, w = mask_preds.shape
+    keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(img_idx)
+    coords = jax.vmap(
+        lambda k, m: get_uncertain_point_coords_with_randomness(
+            k,
+            jax.lax.stop_gradient(m),
+            cfg.num_points,
+            cfg.oversample_ratio,
+            cfg.importance_sample_ratio,
+        )
+    )(keys, mask_preds)  # (B, Q, P, 2)
+    coords = coords.reshape(b * q, cfg.num_points, 2)
+
+    flat_preds = mask_preds.reshape(b * q, h, w)
     pred_pts = point_sample(flat_preds, coords).reshape(b, q, cfg.num_points)
 
     # gather each query's matched GT mask and sample the same points
@@ -186,10 +202,12 @@ def _mask_losses(
     dice = naive_dice_loss(
         pred_pts.reshape(b * q, -1), tgt_pts.reshape(b * q, -1), cfg.dice_eps
     ).reshape(b, q)
-    loss_dice = (dice * wgt).sum() / num_total_masks
+    loss_dice = psum((dice * wgt).sum()) / num_total_masks
 
     bce = binary_ce_with_logits(pred_pts, tgt_pts)  # (B, Q, P)
-    loss_mask = (bce * wgt[:, :, None]).sum() / (num_total_masks * cfg.num_points)
+    loss_mask = psum((bce * wgt[:, :, None]).sum()) / (
+        num_total_masks * cfg.num_points
+    )
     return loss_mask, loss_dice
 
 
@@ -228,6 +246,7 @@ def compute_losses(
     cfg: CriterionConfig,
     caption_apply: Optional[Callable] = None,
     caption_embed: Optional[Callable] = None,
+    axis_name: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """All losses over all decoder layers.
 
@@ -241,9 +260,20 @@ def compute_losses(
         caption_apply: fn(tgt_embs, memory, pad_mask, rng) -> logits
             (teacher-forced caption decoder pass, bound to model params).
         caption_embed: fn(ids) -> (.., d) BERT embedding lookup (+LN).
+        axis_name: data-parallel mesh axis when running under
+            ``jax.shard_map`` (each device sees its local batch shard);
+            None for single-device / global-batch execution. With an axis,
+            normalizers are psum'd and grounding all_gathers, so every
+            returned loss equals the single-device global-batch value.
 
     Returns (total_loss, per-loss dict incl. per-layer aux entries).
     """
+    psum = (
+        (lambda x: jax.lax.psum(x, axis_name))
+        if axis_name is not None
+        else (lambda x: x)
+    )
+
     cls_scores = outputs["cls_scores"].astype(jnp.float32)
     cls_emb_preds = outputs["cls_emb_preds"].astype(jnp.float32)
     mask_preds = outputs["mask_preds"].astype(jnp.float32)
@@ -253,10 +283,16 @@ def compute_losses(
     gt_masks = batch["gt_masks"]
     num_gts = batch["num_gts"]
 
+    b_local = gt_labels.shape[0]
+    offset = (
+        jax.lax.axis_index(axis_name) * b_local if axis_name is not None else 0
+    )
+    img_idx = offset + jnp.arange(b_local)  # (B,) global image indices
+
     class_weight = jnp.concatenate(
         [jnp.ones((cfg.num_classes,)), jnp.array([cfg.bg_class_weight])]
     )
-    num_total_masks = jnp.maximum(num_gts.sum().astype(jnp.float32), 1.0)
+    num_total_masks = jnp.maximum(psum(num_gts.sum().astype(jnp.float32)), 1.0)
 
     if cfg.use_class_emb:
         # (L, B, Q, C+1)
@@ -272,6 +308,26 @@ def compute_losses(
         assert caption_embed is not None
         caption_embs = caption_embed(batch["caption_ids"])  # (B, T, d)
         nouns_embs = caption_embed(batch["caption_nouns_ids"])  # (B, Tn, d)
+
+    if cfg.use_caption:
+        # the grounding loss is a global-batch BxB contrastive term: gather
+        # noun embeddings/masks and (per layer) query embeddings over the
+        # data axis (the reference's dist.all_gather,
+        # mask2former_head.py:650-684)
+        if axis_name is not None:
+            g_nouns_embs = jax.lax.all_gather(
+                nouns_embs, axis_name, tiled=True
+            )
+            g_nouns_mask = jax.lax.all_gather(
+                batch["caption_nouns_mask"], axis_name, tiled=True
+            )
+            g_emb_preds = jax.lax.all_gather(
+                cls_emb_preds, axis_name, axis=1, tiled=True
+            )  # (L, B_global, Q, d)
+        else:
+            g_nouns_embs = nouns_embs
+            g_nouns_mask = batch["caption_nouns_mask"]
+            g_emb_preds = cls_emb_preds
 
     layer_keys = jax.random.split(rng, num_layers * 3).reshape(num_layers, 3, 2)
 
@@ -291,31 +347,44 @@ def compute_losses(
             gt_masks,
             num_gts,
             cfg,
+            img_idx,
         )
         flat_labels = labels.reshape(-1)
-        avg_factor = jnp.take(class_weight, flat_labels).sum()
+        avg_factor = jnp.maximum(
+            psum(jnp.take(class_weight, flat_labels).sum()), 1e-12
+        )
 
-        loss_cls = weighted_softmax_ce_loss(
-            cls_scores[li].reshape(-1, cfg.num_classes + 1),
-            flat_labels,
-            class_weight=class_weight,
-            avg_factor=avg_factor,
+        loss_cls = (
+            psum(
+                weighted_softmax_ce_sum(
+                    cls_scores[li].reshape(-1, cfg.num_classes + 1),
+                    flat_labels,
+                    class_weight=class_weight,
+                )
+            )
+            / avg_factor
         )
         losses = {"loss_cls": cfg.loss_cls * loss_cls}
 
         if cfg.use_class_emb:
-            losses["loss_cls_emb"] = cfg.loss_cls_emb * weighted_softmax_ce_loss(
-                emb_logits_l.reshape(-1, cfg.num_classes + 1),
-                flat_labels,
-                class_weight=class_weight,
-                avg_factor=avg_factor,
+            losses["loss_cls_emb"] = cfg.loss_cls_emb * (
+                psum(
+                    weighted_softmax_ce_sum(
+                        emb_logits_l.reshape(-1, cfg.num_classes + 1),
+                        flat_labels,
+                        class_weight=class_weight,
+                    )
+                )
+                / avg_factor
             )
 
         if cfg.use_caption:
+            # computed identically on every device from gathered tensors;
+            # gradients route back through the all_gather transpose
             losses["loss_grounding"] = cfg.loss_grounding * grounding_loss(
-                cls_emb_preds[li],
-                nouns_embs,
-                batch["caption_nouns_mask"],
+                g_emb_preds[li],
+                g_nouns_embs,
+                g_nouns_mask,
                 cfg.softmax_temperature,
             )
 
@@ -331,13 +400,13 @@ def compute_losses(
             logits = caption_apply(
                 caption_embs[:, :-1, :], cls_emb_preds[li], pad_mask, k_drop
             )  # (B, T-1, V)
-            losses["loss_caption_generation"] = (
-                cfg.loss_caption_generation
-                * ignore_index_ce_loss(
-                    logits.reshape(-1, logits.shape[-1]),
-                    tgt_ids[:, 1:].reshape(-1),
-                    ignore_index=0,
-                )
+            ce_sum, valid_cnt = ignore_index_ce_sum(
+                logits.reshape(-1, logits.shape[-1]),
+                tgt_ids[:, 1:].reshape(-1),
+                ignore_index=0,
+            )
+            losses["loss_caption_generation"] = cfg.loss_caption_generation * (
+                psum(ce_sum) / jnp.maximum(psum(valid_cnt), 1)
             )
 
         loss_mask, loss_dice = _mask_losses(
@@ -348,6 +417,8 @@ def compute_losses(
             assigned,
             num_total_masks,
             cfg,
+            img_idx,
+            psum,
         )
         losses["loss_mask"] = cfg.loss_mask * loss_mask
         losses["loss_dice"] = cfg.loss_dice * loss_dice

@@ -49,6 +49,34 @@ def weighted_softmax_ce_loss(
     return total / jnp.maximum(avg_factor, 1e-12)
 
 
+def weighted_softmax_ce_sum(
+    logits: jnp.ndarray,  # (N, C)
+    labels: jnp.ndarray,  # (N,)
+    class_weight: Optional[jnp.ndarray] = None,  # (C,)
+) -> jnp.ndarray:
+    """Un-normalized class-weighted CE sum. The caller divides by a
+    (possibly cross-device psum'd) avg_factor, so data-parallel loss values
+    are exactly the single-device global-batch values."""
+    ce = softmax_cross_entropy(logits, labels)
+    if class_weight is not None:
+        ce = ce * jnp.take(class_weight, labels)
+    return ce.sum()
+
+
+def ignore_index_ce_sum(
+    logits: jnp.ndarray,  # (N, C)
+    labels: jnp.ndarray,  # (N,)
+    ignore_index: int = 0,
+):
+    """CE (sum, valid_count) over non-ignored labels; the caller normalizes
+    (cross-device psum of both terms under data parallelism)."""
+    valid = labels != ignore_index
+    safe_labels = jnp.where(valid, labels, 0)
+    ce = softmax_cross_entropy(logits, safe_labels)
+    ce = jnp.where(valid, ce, 0.0)
+    return ce.sum(), valid.sum()
+
+
 def ignore_index_ce_loss(
     logits: jnp.ndarray,  # (N, C)
     labels: jnp.ndarray,  # (N,)

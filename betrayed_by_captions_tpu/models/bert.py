@@ -48,8 +48,17 @@ def synthetic_bert_assets(
     )
 
 
-def load_bert_assets(path: Optional[str] = None) -> BertAssets:
-    """Load the embedding asset; fall back to the synthetic table."""
+def load_bert_assets(
+    path: Optional[str] = None, allow_synthetic: bool = False
+) -> BertAssets:
+    """Load the real embedding asset (``assets/bert.npz``).
+
+    Raises if the asset is missing: every caption/grounding-dependent
+    metric computed from a random table is numerically meaningless, so a
+    silent fallback is never acceptable. Tests and smoke runs that don't
+    care about caption numerics opt in explicitly with
+    ``allow_synthetic=True`` (or construct ``synthetic_bert_assets()``
+    directly)."""
     if path is None:
         path = os.path.join(os.path.dirname(__file__), "..", "assets", "bert.npz")
     path = os.path.abspath(path)
@@ -60,7 +69,23 @@ def load_bert_assets(path: Optional[str] = None) -> BertAssets:
             ln_scale=data["ln_scale"].astype(np.float32),
             ln_bias=data["ln_bias"].astype(np.float32),
         )
-    return synthetic_bert_assets()
+    if allow_synthetic:
+        import warnings
+
+        warnings.warn(
+            f"BERT asset {path} not found — using a SYNTHETIC random "
+            "embedding table. Caption/grounding losses and metrics are "
+            "numerically meaningless; export the real table with "
+            "tools/export_bert_assets.py before any parity run.",
+            stacklevel=2,
+        )
+        return synthetic_bert_assets()
+    raise FileNotFoundError(
+        f"BERT embedding asset not found at {path}. Export it once with "
+        "tools/export_bert_assets.py (requires the bert-base-uncased "
+        "weights), or pass allow_synthetic=True for smoke tests that do "
+        "not depend on caption numerics."
+    )
 
 
 class BertWordEmbeddings:

@@ -39,12 +39,17 @@ def _augment_row(i: jnp.ndarray, cost: jnp.ndarray, u, v, p):
     way = jnp.zeros((num_cols + 1,), dtype=jnp.int32)
     j0 = jnp.int32(0)
 
+    # The Dijkstra-style scan marks one column used per iteration, so it
+    # terminates within num_cols steps; the explicit cap makes the trip
+    # count statically bounded (defends against fp-degenerate inputs and
+    # keeps worst-case latency uniform across devices — collectives never
+    # wait on an unbounded data-dependent loop).
     def cond(state):
-        _, _, p_, _, _, _, j0_ = state
-        return p_[j0_] != 0
+        it_, _, _, p_, _, _, _, j0_ = state
+        return (p_[j0_] != 0) & (it_ <= num_cols)
 
     def body(state):
-        u_, v_, p_, minv_, used_, way_, j0_ = state
+        it_, u_, v_, p_, minv_, used_, way_, j0_ = state
         used_ = used_.at[j0_].set(True)
         i0 = p_[j0_]
         # reduced costs of unused columns against row i0
@@ -59,24 +64,25 @@ def _augment_row(i: jnp.ndarray, cost: jnp.ndarray, u, v, p):
         u_ = u_.at[p_].add(jnp.where(used_, delta, 0.0))
         v_ = v_ - jnp.where(used_, delta, 0.0)
         minv_ = minv_ - jnp.where(used_, 0.0, delta)
-        return u_, v_, p_, minv_, used_, way_, j1
+        return it_ + 1, u_, v_, p_, minv_, used_, way_, j1
 
-    u, v, p, _, _, way, j0 = jax.lax.while_loop(
-        cond, body, (u, v, p, minv, used, way, j0)
+    _, u, v, p, _, _, way, j0 = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), u, v, p, minv, used, way, j0)
     )
 
     # unwind the augmenting path: column j0 is free, walk back via `way`
+    # (path length <= num_cols; same static bound rationale as above)
     def unwind_cond(state):
-        _, j0_ = state
-        return j0_ != 0
+        it_, _, j0_ = state
+        return (j0_ != 0) & (it_ <= num_cols)
 
     def unwind_body(state):
-        p_, j0_ = state
+        it_, p_, j0_ = state
         j1 = way[j0_]
         p_ = p_.at[j0_].set(p_[j1])
-        return p_, j1
+        return it_ + 1, p_, j1
 
-    p, _ = jax.lax.while_loop(unwind_cond, unwind_body, (p, j0))
+    _, p, _ = jax.lax.while_loop(unwind_cond, unwind_body, (jnp.int32(0), p, j0))
     return u, v, p
 
 

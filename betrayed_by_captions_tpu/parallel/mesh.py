@@ -5,9 +5,11 @@ TPU-native replacement for the reference's NCCL/DDP distribution
 parallelism with a cross-rank all_gather in the grounding loss
 (open_set/apis/train.py:156-161, mask2former_head.py:650-684). Here that
 becomes a 1-D ``data`` mesh with batch-dim NamedSharding on inputs and
-replicated parameters; pjit's global-view semantics make the grounding
-loss's BxB global-batch math automatic (XLA inserts the collectives over
-ICI).
+replicated parameters. The train step runs explicit SPMD under
+``jax.shard_map`` over this mesh (engine/train_step.py): matching and
+per-image losses stay device-local, the grounding loss all_gathers over
+the axis, normalizers are psum'd, and the gradient reduction is a single
+psum over ICI.
 
 The mesh is built 1-D over all devices by default; callers can pass an
 explicit device list (e.g. a virtual CPU mesh in tests / dryruns).

@@ -57,7 +57,12 @@ def main():
         model,
         params,
         banks,
-        bert=BertWordEmbeddings(load_bert_assets(cfg.get("bert_assets"))),
+        bert=BertWordEmbeddings(
+            load_bert_assets(
+                cfg.get("bert_assets"),
+                allow_synthetic=cfg.get("allow_synthetic_bert", False),
+            )
+        ),
         tokenizer=load_tokenizer(),
         eval_types=("all_results",),
     )

@@ -199,6 +199,38 @@ class TestDataset:
         assert b["gt_masks"].shape == (2, 8, 128, 128)
         assert b["caption_ids"].shape == (2, 35)
 
+    def test_loader_deterministic_across_worker_counts(self, coco_fixture):
+        """Augmentation/caption RNG is per-(seed, epoch, item), so batches
+        are identical regardless of thread scheduling or worker count."""
+        from betrayed_by_captions_tpu.data.transforms import TrainTransform
+
+        def run(num_workers, epoch):
+            ds = CocoDatasetOpen(
+                coco_fixture["inst"],
+                img_prefix=coco_fixture["root"],
+                caption_ann_file=coco_fixture["caps"],
+                known_file=coco_fixture["known"],
+                unknown_file=coco_fixture["unknown"],
+                train_transform=TrainTransform(
+                    image_size=(128, 128), max_instances=8
+                ),
+                seed=3,
+            )
+            loader = DataLoader(ds, batch_size=2, num_workers=num_workers, seed=1)
+            loader.set_epoch(epoch)
+            return list(loader)
+
+        a, b = run(1, epoch=0), run(4, epoch=0)
+        assert len(a) == len(b)
+        for ba, bb in zip(a, b):
+            for k in ba:
+                np.testing.assert_array_equal(ba[k], bb[k], err_msg=k)
+        # different epoch -> different augmentation draws
+        c = run(1, epoch=1)
+        assert any(
+            not np.array_equal(ba["image"], bc["image"]) for ba, bc in zip(a, c)
+        )
+
     def test_class_balanced_wrapper(self, coco_fixture):
         ds = CocoDatasetOpen(
             coco_fixture["inst"],

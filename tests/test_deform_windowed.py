@@ -1,0 +1,104 @@
+"""Windowed (gather-free) deformable attention vs the exact gather op.
+
+The windowed op must match ops.deform_attn.ms_deform_attn bit-for-fp-bit
+whenever every sampling offset stays inside the window; with offsets
+beyond the window it must clamp (finite, no NaN) rather than sample."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from betrayed_by_captions_tpu.models.deformable import make_reference_points
+from betrayed_by_captions_tpu.ops.deform_attn import ms_deform_attn
+from betrayed_by_captions_tpu.ops.deform_attn_windowed import (
+    windowed_ms_deform_attn,
+)
+
+# level shapes with exact x2 ratios (stride 32/16/8 of a 64x96 image)
+SHAPES = [(2, 3), (4, 6), (8, 12)]
+NH, D, P = 2, 8, 4
+
+
+def build_inputs(rng, shapes, max_offset_cells, b=2):
+    s = sum(h * w for h, w in shapes)
+    nl = len(shapes)
+    value = rng.randn(b, s, NH, D).astype(np.float32)
+    ref = make_reference_points(shapes)  # (S, 2) normalized
+    offsets = rng.uniform(
+        -max_offset_cells, max_offset_cells, size=(b, s, NH, nl, P, 2)
+    ).astype(np.float32)
+    normalizer = np.array([[w, h] for (h, w) in shapes], np.float32)
+    locs = ref[None, :, None, None, None, :] + offsets / normalizer[
+        None, None, None, :, None, :
+    ]
+    wgts = rng.rand(b, s, NH, nl, P).astype(np.float32)
+    wgts = wgts / wgts.sum(axis=(3, 4), keepdims=True)
+    return jnp.asarray(value), jnp.asarray(locs), jnp.asarray(wgts)
+
+
+class TestWindowedDeformAttn:
+    def test_matches_exact_op_in_window(self, rng):
+        value, locs, wgts = build_inputs(rng, SHAPES, max_offset_cells=2.5)
+        want = ms_deform_attn(value, SHAPES, locs, wgts)
+        got = windowed_ms_deform_attn(value, SHAPES, locs, wgts, window=8)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_matches_exact_op_default_window(self, rng):
+        value, locs, wgts = build_inputs(rng, SHAPES, max_offset_cells=4.0)
+        want = ms_deform_attn(value, SHAPES, locs, wgts)
+        got = windowed_ms_deform_attn(value, SHAPES, locs, wgts)  # W=12
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_single_level(self, rng):
+        shapes = [(8, 12)]
+        value, locs, wgts = build_inputs(rng, shapes, max_offset_cells=2.0)
+        want = ms_deform_attn(value, shapes, locs, wgts)
+        got = windowed_ms_deform_attn(value, shapes, locs, wgts, window=8)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_out_of_window_clamps_finite(self, rng):
+        value, locs, wgts = build_inputs(rng, SHAPES, max_offset_cells=30.0)
+        got = windowed_ms_deform_attn(value, SHAPES, locs, wgts, window=8)
+        assert np.isfinite(np.asarray(got)).all()
+
+    def test_edge_queries_zero_padding(self, rng):
+        """Samples falling off the image edge contribute zero, exactly as
+        the gather op's inside-mask does."""
+        shapes = [(4, 4)]
+        s = 16
+        value = jnp.asarray(rng.randn(1, s, 1, 4).astype(np.float32))
+        ref = make_reference_points(shapes)
+        # push every sample 2 cells off the left edge for corner queries
+        offs = np.full((1, s, 1, 1, P, 2), -2.0, np.float32)
+        locs = jnp.asarray(
+            ref[None, :, None, None, None, :] + offs / 4.0
+        )
+        wgts = jnp.full((1, s, 1, 1, P), 1.0 / P, jnp.float32)
+        want = ms_deform_attn(value, shapes, locs, wgts)
+        got = windowed_ms_deform_attn(value, shapes, locs, wgts, window=8)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_grad_flows(self, rng):
+        value, locs, wgts = build_inputs(rng, SHAPES, max_offset_cells=2.0)
+
+        def loss(v, l, w):
+            return windowed_ms_deform_attn(v, SHAPES, l, w, window=8).sum()
+
+        gv, gl, gw = jax.grad(loss, argnums=(0, 1, 2))(value, locs, wgts)
+        for g in (gv, gl, gw):
+            arr = np.asarray(g)
+            assert np.isfinite(arr).all()
+            assert np.abs(arr).sum() > 0
+
+    def test_bf16_value(self, rng):
+        value, locs, wgts = build_inputs(rng, SHAPES, max_offset_cells=2.0)
+        got16 = windowed_ms_deform_attn(
+            value.astype(jnp.bfloat16), SHAPES, locs,
+            wgts.astype(jnp.bfloat16), window=8,
+        )
+        want = windowed_ms_deform_attn(value, SHAPES, locs, wgts, window=8)
+        assert got16.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(got16, np.float32), want, rtol=0.05, atol=0.05
+        )

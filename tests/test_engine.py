@@ -124,6 +124,7 @@ class TestCheckpoint:
 
 @pytest.mark.slow
 class TestTrainLoopSmoke:
+    @pytest.mark.slow
     def test_one_epoch_synthetic(self, tmp_path):
         """Full config-driven training on a synthetic dataset."""
         import cv2
@@ -215,8 +216,10 @@ class TestTrainLoopSmoke:
         from betrayed_by_captions_tpu.models import bert as bert_mod
 
         orig = bert_mod.load_bert_assets
-        bert_mod.load_bert_assets = lambda path=None: bert_mod.synthetic_bert_assets(
-            200, emb_dim
+        bert_mod.load_bert_assets = (
+            lambda path=None, allow_synthetic=False: bert_mod.synthetic_bert_assets(
+                200, emb_dim
+            )
         )
         tl.load_bert_assets = bert_mod.load_bert_assets
         try:

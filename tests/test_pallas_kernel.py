@@ -1,5 +1,8 @@
-"""Pallas deformable-attention kernel vs the XLA reference composition
-(interpret mode on CPU; compiled path exercised on TPU by bench)."""
+"""Pallas deformable-attention kernel vs the XLA reference composition.
+
+These tests run in interpret mode on the CPU mesh; the COMPILED kernel is
+validated on real TPU hardware by ``tools/check_pallas_tpu.py`` (numerics
+vs the XLA composition) and exercised by ``bench.py --pallas``."""
 
 import jax.numpy as jnp
 import numpy as np

@@ -1,6 +1,10 @@
 """End-to-end train-step tests: losses finite, params update, multi-device
 data sharding works on the virtual 8-device CPU mesh (SURVEY.md §4)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # XLA-compile heavy (minutes on CPU mesh)
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -136,6 +140,62 @@ class TestTrainStep:
                 changed += 1
         assert changed > 10
         assert int(new_state.step) == 1
+
+    def test_data_parallel_equals_single_device(self, setup):
+        """8-device shard_map step == 1-device step on the same global batch.
+
+        The criterion's normalizers are psum'd and the grounding loss
+        all_gathers (reference dist.all_gather semantics,
+        mask2former_head.py:650-684), so every loss value and the gradient
+        update must be data-parallel invariant (caption dropout off: its
+        masks are drawn per local batch, the only non-invariant RNG)."""
+        model, params, batch, bank, bert, _ = setup
+        cfg = tiny_criterion()
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+        rng_step = jax.random.PRNGKey(7)
+
+        step_1 = make_train_step(
+            model, cfg, bank, bert, donate=False, caption_dropout=False
+        )
+        tx, _ = build_optimizer(params, OptimizerConfig())
+        state_1, metrics_1 = step_1(
+            create_train_state(params, tx), jbatch, rng_step
+        )
+
+        mesh = create_mesh(jax.devices()[:8])
+        step_8 = make_train_step(
+            model, cfg, bank, bert, donate=False, caption_dropout=False,
+            mesh=mesh,
+        )
+        tx8, _ = build_optimizer(params, OptimizerConfig())
+        state_8, metrics_8 = step_8(
+            create_train_state(params, tx8), shard_batch(jbatch, mesh), rng_step
+        )
+
+        assert set(metrics_1) == set(metrics_8)
+        for k in metrics_1:
+            np.testing.assert_allclose(
+                np.asarray(metrics_1[k]),
+                np.asarray(metrics_8[k]),
+                rtol=1e-5,
+                atol=1e-6,
+                err_msg=f"metric {k} diverges between 1- and 8-device runs",
+            )
+
+        # tolerances: Adam's grad/sqrt(var) normalization amplifies fp
+        # reassociation on near-zero gradients into O(lr)-scale update
+        # diffs; real DP bugs (missing/double psum) shift params by the
+        # update magnitude itself, far beyond these bounds
+        p1 = jax.tree_util.tree_leaves_with_path(state_1.params)
+        p8 = dict(jax.tree_util.tree_leaves_with_path(state_8.params))
+        for path, v1 in p1:
+            np.testing.assert_allclose(
+                np.asarray(v1),
+                np.asarray(p8[path]),
+                rtol=1e-3,
+                atol=2e-4,
+                err_msg=f"param {jax.tree_util.keystr(path)} diverges",
+            )
 
     def test_empty_gt_batch(self, setup):
         """Images with zero GT instances must not produce NaNs
