@@ -52,6 +52,7 @@ def main():
         emb_dim=768,
         num_decoder_layers=9,
         use_caption_generation=False,
+        attn_impl="windowed_pallas",
         dtype=jnp.bfloat16,
     )
     images = jnp.zeros((BATCH, HW[0], HW[1], 3), jnp.float32)

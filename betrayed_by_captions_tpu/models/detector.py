@@ -41,7 +41,7 @@ class Mask2FormerOpen(nn.Module):
     caption_num_layers: int = 4
     caption_ff_dim: int = 512
     caption_num_heads: int = 8
-    use_pallas: bool = False
+    attn_impl: str = "exact"
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -56,7 +56,7 @@ class Mask2FormerOpen(nn.Module):
             num_decoder_layers=self.num_decoder_layers,
             use_class_emb=self.use_class_emb,
             pred_emb_norm=self.pred_emb_norm,
-            use_pallas=self.use_pallas,
+            attn_impl=self.attn_impl,
             dtype=self.dtype,
             name="head",
         )
@@ -123,6 +123,6 @@ def build_detector(model_cfg: Config, dtype=jnp.float32) -> Mask2FormerOpen:
         pred_emb_norm=model_cfg.get("pred_emb_norm", False),
         vocab_size=model_cfg.get("vocab_size", 30522),
         max_caption_len=model_cfg.get("max_caption_len", 35),
-        use_pallas=model_cfg.get("use_pallas", False),
+        attn_impl=model_cfg.get("attn_impl", "exact"),
         dtype=dtype,
     )

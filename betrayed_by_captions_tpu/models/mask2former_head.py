@@ -50,14 +50,14 @@ class Mask2FormerHeadOpen(nn.Module):
     ffn_dim: int = 2048
     use_class_emb: bool = True
     pred_emb_norm: bool = False  # reference kwarg (default config: False)
-    use_pallas: bool = False
+    attn_impl: str = "exact"
     dtype: Dtype = jnp.float32
 
     def setup(self):
         self.pixel_decoder = MSDeformAttnPixelDecoder(
             feat_channels=self.feat_channels,
             out_channels=self.out_channels,
-            use_pallas=self.use_pallas,
+            attn_impl=self.attn_impl,
             dtype=self.dtype,
             name="pixel_decoder",
         )

@@ -38,7 +38,7 @@ class EncoderLayer(nn.Module):
     num_levels: int = 3
     num_points: int = 4
     ffn_dim: int = 1024
-    use_pallas: bool = False
+    attn_impl: str = "exact"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -48,7 +48,7 @@ class EncoderLayer(nn.Module):
             num_heads=self.num_heads,
             num_levels=self.num_levels,
             num_points=self.num_points,
-            use_pallas=self.use_pallas,
+            attn_impl=self.attn_impl,
             dtype=self.dtype,
             name="attn",
         )(tokens + pos, tokens, reference_points, spatial_shapes)
@@ -66,7 +66,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
     num_heads: int = 8
     num_points: int = 4
     ffn_dim: int = 1024
-    use_pallas: bool = False
+    attn_impl: str = "exact"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -110,7 +110,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
                 num_levels=self.num_encoder_levels,
                 num_points=self.num_points,
                 ffn_dim=self.ffn_dim,
-                use_pallas=self.use_pallas,
+                attn_impl=self.attn_impl,
                 dtype=self.dtype,
                 name=f"encoder_layer{li}",
             )(tokens, pos, reference_points, spatial_shapes)

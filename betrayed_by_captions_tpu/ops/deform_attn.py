@@ -6,9 +6,11 @@ kernel (the core of the reference's pixel decoder; configured at
 ``F.grid_sample(align_corners=False, padding_mode='zeros')`` per level,
 weighted by softmaxed attention weights over (levels x points).
 
-This module holds the correctness-first XLA composition built from four
-corner gathers per sampling point; the fused Pallas kernel (when available)
-is dispatched from :mod:`..ops.deform_attn_pallas`. Sampling locations are
+This module holds the exact XLA composition built from four corner
+gathers per sampling point. XLA gathers are slow on TPU, so this path is
+used for training (differentiable) and checkpoint-parity cross-checks;
+the fast inference path is the gather-free windowed formulation
+(:mod:`..ops.deform_attn_windowed_pallas`). Sampling locations are
 normalized (x, y) in [0, 1] per level.
 """
 

@@ -37,6 +37,65 @@ def build_inputs(rng, shapes, max_offset_cells, b=2):
     return jnp.asarray(value), jnp.asarray(locs), jnp.asarray(wgts)
 
 
+class TestWindowedPallas:
+    """Fused kernel (interpret mode on CPU) vs the XLA windowed
+    composition; the compiled path is validated on real TPU by
+    tools/check_pallas_tpu.py."""
+
+    def test_matches_windowed_xla(self, rng):
+        from betrayed_by_captions_tpu.ops.deform_attn_windowed_pallas import (
+            windowed_ms_deform_attn_pallas,
+        )
+
+        value, locs, wgts = build_inputs(rng, SHAPES, max_offset_cells=2.5)
+        want = windowed_ms_deform_attn(value, SHAPES, locs, wgts, window=8)
+        got = windowed_ms_deform_attn_pallas(
+            value, SHAPES, locs, wgts, window=8, interpret=True
+        )
+        # kernel multiplies in bf16 (by design): bf16-level tolerance
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32),
+            np.asarray(want, np.float32),
+            rtol=0.05,
+            atol=0.05,
+        )
+
+    def test_matches_exact_op(self, rng):
+        from betrayed_by_captions_tpu.ops.deform_attn_windowed_pallas import (
+            windowed_ms_deform_attn_pallas,
+        )
+
+        value, locs, wgts = build_inputs(rng, SHAPES, max_offset_cells=2.0)
+        want = ms_deform_attn(value, SHAPES, locs, wgts)
+        got = windowed_ms_deform_attn_pallas(
+            value, SHAPES, locs, wgts, window=8, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32),
+            np.asarray(want, np.float32),
+            rtol=0.05,
+            atol=0.05,
+        )
+
+    def test_single_level(self, rng):
+        from betrayed_by_captions_tpu.ops.deform_attn_windowed_pallas import (
+            windowed_ms_deform_attn_pallas,
+        )
+
+        shapes = [(8, 12)]
+        value, locs, wgts = build_inputs(rng, shapes, max_offset_cells=2.0)
+        want = windowed_ms_deform_attn(value, shapes, locs, wgts, window=8)
+        got = windowed_ms_deform_attn_pallas(
+            value, shapes, locs, wgts, window=8, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32),
+            np.asarray(want, np.float32),
+            rtol=0.05,
+            atol=0.05,
+        )
+
+
 class TestWindowedDeformAttn:
     def test_matches_exact_op_in_window(self, rng):
         value, locs, wgts = build_inputs(rng, SHAPES, max_offset_cells=2.5)

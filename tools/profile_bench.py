@@ -56,7 +56,7 @@ def main():
         emb_dim=768,
         num_decoder_layers=9,
         use_caption_generation=False,
-        use_pallas=args.pallas,
+        attn_impl="windowed_pallas" if args.pallas else "exact",
         dtype=jnp.bfloat16,
     )
     images = jnp.zeros((BATCH, HW[0], HW[1], 3), jnp.float32)
@@ -105,9 +105,11 @@ def main():
     timeit(xla_op, value, locs, wgts, name=f"ms_deform_attn XLA (1 layer, S={s})")
 
     try:
-        from betrayed_by_captions_tpu.ops.deform_attn_pallas import ms_deform_attn_pallas
+        from betrayed_by_captions_tpu.ops.deform_attn_windowed_pallas import (
+            windowed_ms_deform_attn_pallas,
+        )
 
-        pl_op = jax.jit(lambda v, l, w: ms_deform_attn_pallas(v, shapes, l, w))
+        pl_op = jax.jit(lambda v, l, w: windowed_ms_deform_attn_pallas(v, shapes, l, w))
         r = pl_op(value, locs, wgts)
         jax.block_until_ready(r)
         timeit(pl_op, value, locs, wgts, name=f"ms_deform_attn Pallas (1 layer, S={s})")
