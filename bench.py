@@ -31,6 +31,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from betrayed_by_captions_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
+
     from betrayed_by_captions_tpu.engine.train_step import make_eval_step
     from betrayed_by_captions_tpu.models.class_banks import (
         asset_path,

@@ -116,3 +116,127 @@ class TestBeamSearch:
         )
         # nothing can finish; search must still terminate
         assert finished == [] or all(len(s) <= 6 for s, _ in finished)
+
+
+class TestJitBeamSearch:
+    """Fixed-shape fully-jitted beam search (evaluation/inference.py):
+    one compile, full-depth search; its best normalized score must be >=
+    the host loop's (which stops early once beam_width finish)."""
+
+    def _tiny(self):
+        import numpy as np
+
+        from betrayed_by_captions_tpu.evaluation.inference import (
+            make_caption_scorer,
+            make_jit_beam_search,
+        )
+        from betrayed_by_captions_tpu.models.bert import (
+            BertWordEmbeddings,
+            synthetic_bert_assets,
+        )
+        from betrayed_by_captions_tpu.models.detector import Mask2FormerOpen
+
+        vocab, emb = 50, 16
+        model = Mask2FormerOpen(
+            num_classes=5,
+            num_queries=4,
+            feat_channels=32,
+            emb_dim=emb,
+            num_decoder_layers=2,
+            caption_num_layers=2,
+            use_caption_generation=True,
+            vocab_size=vocab,
+            max_caption_len=12,
+        )
+        import jax
+
+        params = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 32, 32, 3)),
+            method="init_forward",
+        )["params"]
+        bert = BertWordEmbeddings(synthetic_bert_assets(vocab, emb))
+        return model, params, bert
+
+    def test_greedy_sequence_recovered(self):
+        """Deterministic scorer preferring a fixed token chain: the jitted
+        search must recover exactly the host search's sequence."""
+        import jax
+
+        from betrayed_by_captions_tpu.evaluation.inference import (
+            jit_beam_search_from_logits,
+        )
+
+        vocab, eos, bos = 20, 5, 1
+        preferred = [7, 9, 11, eos]
+
+        def logits_at(ids, memory_w, pos):
+            step = jnp.minimum(pos, len(preferred) - 1)
+            tok = jnp.asarray(preferred, jnp.int32)[step]
+            logits = jnp.full((ids.shape[0], vocab), -10.0, jnp.float32)
+            logits = logits.at[:, tok].set(0.0)
+            return jax.nn.log_softmax(logits, axis=-1)
+
+        jit_fn = jit_beam_search_from_logits(
+            logits_at, beam_width=3, max_len=10, alpha=0.7, bos=bos, eos=eos
+        )
+        fin_ids, fin_scores = jit_fn(jnp.zeros((1, 4, 8)))
+        best = int(np.argmax(np.asarray(fin_scores)))
+        assert float(fin_scores[best]) > -1e20
+        seq = list(np.asarray(fin_ids[best][:5]))
+        assert seq == [1, 7, 9, 11, eos]
+
+    def test_matches_or_beats_host_search(self):
+        """On a real tiny model, if the host loop finds any hypothesis the
+        jitted full-depth search must score at least as well."""
+        import jax
+
+        from betrayed_by_captions_tpu.evaluation.inference import (
+            beam_search,
+            make_caption_scorer,
+            make_jit_beam_search,
+        )
+
+        model, params, bert = self._tiny()
+        memory = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 16))
+
+        bos, eos, width, max_len = 1, 2, 3, 10
+        host = beam_search(
+            make_caption_scorer(model, params, bert),
+            memory,
+            beam_width=width,
+            max_len=max_len,
+            bos=bos,
+            eos=eos,
+        )
+        jit_fn = make_jit_beam_search(
+            model, params, bert, beam_width=width, max_len=max_len,
+            alpha=0.7, bos=bos, eos=eos,
+        )
+        fin_ids, fin_scores = jit_fn(memory)
+        fin_scores = np.asarray(fin_scores)
+
+        if host:
+            best = fin_scores.argmax()
+            assert fin_scores[best] > -1e20, "host finished but jit did not"
+            assert fin_scores[best] >= host[0][1] - 1e-4
+
+    def test_single_compile(self):
+        import jax
+
+        from betrayed_by_captions_tpu.evaluation.inference import (
+            make_jit_beam_search,
+        )
+
+        model, params, bert = self._tiny()
+        jit_fn = make_jit_beam_search(
+            model, params, bert, beam_width=3, max_len=10, bos=1, eos=2
+        )
+        m1 = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 16))
+        m2 = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 16))
+        jit_fn(m1)
+        with jax.log_compiles():
+            import logging
+
+            jit_fn(m2)  # same shapes: must not retrace
+        assert jit_fn._cache_size() == 1

@@ -20,6 +20,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from betrayed_by_captions_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 from betrayed_by_captions_tpu.models.deformable import make_reference_points
 from betrayed_by_captions_tpu.ops.deform_attn import ms_deform_attn
 from betrayed_by_captions_tpu.ops.deform_attn_windowed_pallas import (

@@ -17,6 +17,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from betrayed_by_captions_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 from betrayed_by_captions_tpu.models.detector import Mask2FormerOpen
 
 BATCH = 4
