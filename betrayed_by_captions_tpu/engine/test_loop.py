@@ -58,25 +58,48 @@ def evaluate(
     forward = jax.jit(lambda p, x: model.apply({"params": p}, x))
 
     n = len(dataset) if max_images is None else min(max_images, len(dataset))
-    results_per_type: Dict[str, List[dict]] = {et: [] for et in eval_types}
+    bs = int(cfg.get("eval_batch_size", 4))
+
+    # batch images in two static aspect buckets (landscape 800x1344 /
+    # portrait 1344x800, from the test transform) so the jitted forward
+    # compiles at most twice; the tail of each bucket is padded by
+    # repeating the last image and the extra outputs dropped
+    def is_portrait(idx: int) -> bool:
+        info = dataset.data_infos[idx]
+        return info.get("height", 0) > info.get("width", 1)
+
+    buckets: Dict[bool, List[int]] = {False: [], True: []}
     for idx in range(n):
-        image, meta = dataset[idx]
-        out = forward(params, jnp.asarray(image[None]))
-        cls_emb = np.asarray(out["cls_emb_preds"][-1][0])
-        masks = np.asarray(out["mask_preds"][-1][0])
-        for et in eval_types:
-            labels, scores, boxes, bmasks = postprocess_instance_host(
-                cls_emb,
-                masks,
-                bank_by_type[et],
-                img_shape=meta["img_shape"],
-                ori_shape=meta["ori_shape"],
-                pad_shape=meta["pad_shape"],
-                max_per_image=cfg.get("max_per_image", 100),
-            )
-            results_per_type[et].append(
-                dict(labels=labels, scores=scores, boxes=boxes, masks=bmasks)
-            )
+        buckets[is_portrait(idx)].append(idx)
+
+    results_per_type: Dict[str, List[Optional[dict]]] = {
+        et: [None] * n for et in eval_types
+    }
+    for idxs in buckets.values():
+        for start in range(0, len(idxs), bs):
+            chunk = idxs[start : start + bs]
+            loaded = [dataset[j] for j in chunk]
+            images = [im for im, _ in loaded]
+            metas = [m for _, m in loaded]
+            while len(images) < bs:  # pad the tail batch
+                images.append(images[-1])
+            out = forward(params, jnp.asarray(np.stack(images)))
+            cls_emb_b = np.asarray(out["cls_emb_preds"][-1])
+            masks_b = np.asarray(out["mask_preds"][-1])
+            for bi, (j, meta) in enumerate(zip(chunk, metas)):
+                for et in eval_types:
+                    labels, scores, boxes, bmasks = postprocess_instance_host(
+                        cls_emb_b[bi],
+                        masks_b[bi],
+                        bank_by_type[et],
+                        img_shape=meta["img_shape"],
+                        ori_shape=meta["ori_shape"],
+                        pad_shape=meta["pad_shape"],
+                        max_per_image=cfg.get("max_per_image", 100),
+                    )
+                    results_per_type[et][j] = dict(
+                        labels=labels, scores=scores, boxes=boxes, masks=bmasks
+                    )
 
     metrics = dataset.evaluate(
         results_per_type,

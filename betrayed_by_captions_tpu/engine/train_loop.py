@@ -56,12 +56,19 @@ def build_dataset(data_cfg: Config, train: bool = True):
         k: v
         for k, v in data_cfg.items()
         if k not in ("type", "class_balanced", "oversample_thr", "image_size",
-                     "max_instances")
+                     "max_instances", "test_scale", "test_pad_bucket")
     }
     if train:
         kwargs["train_transform"] = TrainTransform(
             image_size=tuple(data_cfg.get("image_size", (1024, 1024))),
             max_instances=data_cfg.get("max_instances", 100),
+        )
+    elif "test_scale" in data_cfg or "test_pad_bucket" in data_cfg:
+        from ..data.transforms import TestTransform
+
+        kwargs["test_transform"] = TestTransform(
+            scale=tuple(data_cfg.get("test_scale", (1333, 800))),
+            pad_bucket=tuple(data_cfg.get("test_pad_bucket", (800, 1344))),
         )
     cls = {
         "CocoDatasetOpen": CocoDatasetOpen,

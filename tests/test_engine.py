@@ -230,3 +230,90 @@ class TestTrainLoopSmoke:
         assert int(state.step) == 1  # 8 imgs / batch 8 = 1 step
         assert os.path.isdir(tmp_path / "work" / "checkpoints")
         assert (tmp_path / "work" / "metrics.jsonl").exists()
+
+
+@pytest.mark.slow
+class TestEvalLoopBatched:
+    def test_bucketed_batched_eval(self, tmp_path):
+        """engine.test_loop.evaluate batches images into the two aspect
+        buckets, pads the tail batch, and returns per-image results in
+        dataset order (VERDICT round-1 item 7)."""
+        import cv2
+
+        from betrayed_by_captions_tpu.engine import test_loop
+        from betrayed_by_captions_tpu.evaluation import rle as rle_codec
+        from betrayed_by_captions_tpu.models.detector import build_detector
+
+        root = tmp_path / "data"
+        root.mkdir()
+        images, annotations = [], []
+        cats = [{"id": 1, "name": "person"}, {"id": 2, "name": "dog"}]
+        rs = np.random.RandomState(0)
+        # 5 images: 3 landscape (48x64), 2 portrait (64x48) -> two buckets,
+        # odd counts exercise tail padding at eval_batch_size=2
+        shapes = [(48, 64), (64, 48), (48, 64), (64, 48), (48, 64)]
+        for i, (h, w) in enumerate(shapes):
+            img = (rs.rand(h, w, 3) * 255).astype(np.uint8)
+            cv2.imwrite(str(root / f"img{i}.jpg"), img)
+            images.append(
+                {"id": i + 1, "file_name": f"img{i}.jpg", "height": h, "width": w}
+            )
+            m = np.zeros((h, w), np.uint8)
+            m[8 : h // 2, 8 : w // 2] = 1
+            annotations.append(
+                {
+                    "id": i + 1,
+                    "image_id": i + 1,
+                    "category_id": (i % 2) + 1,
+                    "segmentation": rle_codec.encode(m),
+                    "bbox": [8, 8, w // 2 - 8, h // 2 - 8],
+                    "area": int(m.sum()),
+                    "iscrowd": 0,
+                }
+            )
+        with open(root / "inst.json", "w") as f:
+            json.dump(
+                {"images": images, "annotations": annotations, "categories": cats},
+                f,
+            )
+        emb_dim = 16
+        with open(root / "class_emb.json", "w") as f:
+            json.dump(
+                [
+                    {"id": c["id"], "name": c["name"], "emb": rs.randn(emb_dim).tolist()}
+                    for c in cats
+                ],
+                f,
+            )
+
+        cfg = Config.fromdict(
+            dict(
+                assets=dict(class_to_emb_file=str(root / "class_emb.json")),
+                model=dict(
+                    num_queries=6,
+                    feat_channels=32,
+                    emb_dim=emb_dim,
+                    num_decoder_layers=2,
+                    use_caption_generation=False,
+                ),
+                data=dict(
+                    val=dict(
+                        type="CocoDatasetOpen",
+                        ann_file=str(root / "inst.json"),
+                        img_prefix=str(root),
+                        test_scale=(64, 48),
+                        test_pad_bucket=(48, 64),
+                    ),
+                ),
+                eval_types=("all_results",),
+                eval_batch_size=2,
+                metrics=("segm",),
+            )
+        )
+        model = build_detector(Config.fromdict(dict(cfg.model, num_classes=2)))
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 48, 64, 3))
+        )["params"]
+        metrics = test_loop.evaluate(cfg, params)
+        assert any(k.startswith("all_results") or "mAP" in k or "segm" in k
+                   for k in metrics), metrics
