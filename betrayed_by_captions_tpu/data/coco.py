@@ -249,6 +249,17 @@ class CocoDatasetOpen:
         name2id = self.name_to_cat_id()
         out: Dict[str, float] = {}
         for eval_type, per_image in results_per_type.items():
+            if eval_type == "cap_results":
+                # generated caption strings -> BLEU/CIDEr-D/ROUGE-L vs the
+                # GT caption pool (reference eval_cap_results,
+                # coco_open.py:745-781)
+                out.update(self.eval_cap_results(per_image))
+                continue
+            if eval_type == "visual":
+                # query-embedding dump for analysis (reference
+                # save_results, coco_open.py:718-743)
+                self.save_embedding_results(per_image)
+                continue
             names = class_names_per_type[eval_type]
             label2cat = [name2id[n] for n in names]
             segm_res, bbox_res = results_to_coco_json(
@@ -277,3 +288,50 @@ class CocoDatasetOpen:
                 for k, v in {**stats, **summary}.items():
                     out[f"{prefix}.{k}"] = v
         return out
+
+    def eval_cap_results(self, captions: List[str]) -> Dict[str, float]:
+        """Caption metrics for generated sentences, one per image in
+        dataset order (reference coco_open.py:745-781)."""
+        from ..evaluation.caption_metrics import evaluate_captions
+
+        assert self.coco_caption is not None, "caption_ann_file required"
+        candidates: Dict[str, str] = {}
+        references: Dict[str, List[str]] = {}
+        for idx, sent in enumerate(captions):
+            img_id = self.img_ids[idx]
+            gts = [
+                a["caption"]
+                for a in self.coco_caption.img_to_anns.get(img_id, [])
+            ]
+            if not gts:
+                continue
+            candidates[str(img_id)] = sent
+            references[str(img_id)] = gts
+        return {
+            f"cap_results.{k}": v
+            for k, v in evaluate_captions(candidates, references).items()
+        }
+
+    def save_embedding_results(
+        self, per_image, dump_dir: str = "./results"
+    ) -> None:
+        """Dump assigned query embeddings + their GT category ids
+        (reference save_results, coco_open.py:718-743): per image a tuple
+        (embeddings (N, d), assigned_labels (N,)); label == num classes
+        means unassigned and is skipped."""
+        import os
+
+        embs, cats = [], []
+        for embeddings, assigned_labels in per_image:
+            for emb, lab in zip(embeddings, assigned_labels):
+                if int(lab) == len(self.all_cat_ids):
+                    continue
+                embs.append(np.asarray(emb))
+                cats.append(self.all_cat_ids[int(lab)])
+        os.makedirs(dump_dir, exist_ok=True)
+        np.save(
+            os.path.join(dump_dir, "coco_embedding.npy"), np.stack(embs)
+        )
+        np.save(
+            os.path.join(dump_dir, "coco_gt_category.npy"), np.asarray(cats)
+        )

@@ -57,6 +57,30 @@ def evaluate(
 
     forward = jax.jit(lambda p, x: model.apply({"params": p}, x))
 
+    # caption generation path (reference eval_type 'cap_results')
+    gen_caption = None
+    if "cap_results" in eval_types:
+        from ..data.tokenizer import load_tokenizer
+        from ..evaluation.inference import (
+            generate_caption,
+            make_jit_beam_search,
+        )
+        from ..models.bert import BertWordEmbeddings, load_bert_assets
+
+        bert = BertWordEmbeddings(
+            load_bert_assets(
+                cfg.get("bert_assets"),
+                allow_synthetic=cfg.get("allow_synthetic_bert", False),
+            )
+        )
+        tokenizer = load_tokenizer()
+        jit_search = make_jit_beam_search(model, params, bert)
+
+        def gen_caption(memory):
+            return generate_caption(
+                model, params, bert, tokenizer, memory, jit_search=jit_search
+            )
+
     n = len(dataset) if max_images is None else min(max_images, len(dataset))
     bs = int(cfg.get("eval_batch_size", 4))
 
@@ -88,6 +112,11 @@ def evaluate(
             masks_b = np.asarray(out["mask_preds"][-1])
             for bi, (j, meta) in enumerate(zip(chunk, metas)):
                 for et in eval_types:
+                    if et == "cap_results":
+                        results_per_type[et][j] = gen_caption(
+                            out["cls_emb_preds"][-1][bi : bi + 1]
+                        )
+                        continue
                     labels, scores, boxes, bmasks = postprocess_instance_host(
                         cls_emb_b[bi],
                         masks_b[bi],
@@ -103,7 +132,7 @@ def evaluate(
 
     metrics = dataset.evaluate(
         results_per_type,
-        {et: names_by_type[et] for et in eval_types},
+        {et: names_by_type.get(et) for et in eval_types},
         metrics=tuple(cfg.get("metrics", ("segm", "bbox"))),
     )
     if work_dir:

@@ -147,6 +147,7 @@ def train(cfg: Config, work_dir: str, resume: bool = False):
     logger = MetricLogger(work_dir, interval=cfg.get("log_interval", 50))
     max_epochs = cfg.get("max_epochs", 12)
     global_step = start_epoch * len(loader)
+    best_score = float("-inf")
 
     with mesh:
         for epoch in range(start_epoch, max_epochs):
@@ -175,4 +176,30 @@ def train(cfg: Config, work_dir: str, resume: bool = False):
 
                 metrics = run_eval(cfg, state.params, work_dir=work_dir)
                 print(f"eval @ epoch {epoch + 1}: {metrics}")
+
+                # save-best hook (reference apis/eval_hooks.py:56-75):
+                # track cfg.save_best (a metric key) and keep the best
+                # epoch's weights under checkpoints/best.npz
+                best_key = cfg.get("save_best")
+                if best_key and best_key in metrics:
+                    from .checkpoint import save_params
+
+                    cur = float(metrics[best_key])
+                    if cur > best_score:
+                        best_score = cur
+                        save_params(
+                            os.path.join(ckpt_dir, "best.npz"), state.params
+                        )
+                        with open(
+                            os.path.join(ckpt_dir, "best.json"), "w"
+                        ) as f:
+                            import json
+
+                            json.dump(
+                                {"epoch": epoch + 1, best_key: cur}, f
+                            )
+                        print(
+                            f"new best {best_key}={cur:.4f} "
+                            f"@ epoch {epoch + 1}"
+                        )
     return state

@@ -240,3 +240,88 @@ class TestJitBeamSearch:
 
             jit_fn(m2)  # same shapes: must not retrace
         assert jit_fn._cache_size() == 1
+
+
+class TestCaptionEvalProtocol:
+    def test_cap_results_through_dataset_evaluate(self, tmp_path):
+        """eval_type 'cap_results' routes generated sentences through the
+        caption metrics (reference coco_open.py:745-781)."""
+        import json as _json
+
+        import cv2
+
+        from betrayed_by_captions_tpu.data.coco import CocoDatasetOpen
+
+        root = tmp_path
+        images, anns, caps = [], [], []
+        for i in range(3):
+            img = np.zeros((32, 32, 3), np.uint8)
+            cv2.imwrite(str(root / f"i{i}.jpg"), img)
+            images.append(
+                {"id": i + 1, "file_name": f"i{i}.jpg", "height": 32, "width": 32}
+            )
+            caps.append(
+                {"id": 10 + i, "image_id": i + 1, "caption": "a cat on a mat"}
+            )
+        with open(root / "inst.json", "w") as f:
+            _json.dump(
+                {
+                    "images": images,
+                    "annotations": [],
+                    "categories": [{"id": 1, "name": "cat"}],
+                },
+                f,
+            )
+        with open(root / "caps.json", "w") as f:
+            _json.dump({"images": images, "annotations": caps}, f)
+
+        ds = CocoDatasetOpen(
+            str(root / "inst.json"),
+            img_prefix=str(root),
+            caption_ann_file=str(root / "caps.json"),
+            test_mode=True,
+            filter_empty_gt=False,
+        )
+        out = ds.evaluate(
+            {"cap_results": ["a cat on a mat", "a cat", "a dog in a fog"]},
+            {"cap_results": None},
+            metrics=(),
+        )
+        assert out["cap_results.Bleu_1"] > 0.5
+        assert out["cap_results.CIDEr"] >= 0.0
+        assert out["cap_results.ROUGE_L"] > 0.3
+
+    def test_embedding_dump(self, tmp_path):
+        import json as _json
+
+        import cv2
+
+        from betrayed_by_captions_tpu.data.coco import CocoDatasetOpen
+
+        root = tmp_path
+        img = np.zeros((16, 16, 3), np.uint8)
+        cv2.imwrite(str(root / "i0.jpg"), img)
+        with open(root / "inst.json", "w") as f:
+            _json.dump(
+                {
+                    "images": [
+                        {"id": 1, "file_name": "i0.jpg", "height": 16, "width": 16}
+                    ],
+                    "annotations": [],
+                    "categories": [{"id": 7, "name": "cat"}],
+                },
+                f,
+            )
+        ds = CocoDatasetOpen(
+            str(root / "inst.json"), img_prefix=str(root), test_mode=True,
+            filter_empty_gt=False,
+        )
+        embs = np.random.RandomState(0).randn(4, 8).astype(np.float32)
+        labels = np.array([0, 1, 0, 0])  # label 1 == num classes -> skipped
+        ds.save_embedding_results(
+            [(embs, labels)], dump_dir=str(root / "results")
+        )
+        saved = np.load(root / "results" / "coco_embedding.npy")
+        cats = np.load(root / "results" / "coco_gt_category.npy")
+        assert saved.shape == (3, 8)
+        assert list(cats) == [7, 7, 7]
