@@ -28,7 +28,19 @@ class DataLoader:
         seed: int = 0,
         drop_last: bool = True,
         prefetch: int = 2,
+        process_count: Optional[int] = None,
+        process_index: Optional[int] = None,
     ):
+        """``batch_size`` is the PER-PROCESS (local) batch. Under
+        multi-host execution each process iterates a disjoint shard of the
+        epoch permutation (reference DistSamplerSeedHook semantics): the
+        same seeded shuffle on every process, then strided slicing by
+        process index."""
+        if process_count is None:
+            import jax
+
+            process_count = jax.process_count()
+            process_index = jax.process_index()
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -36,10 +48,12 @@ class DataLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.process_count = process_count
+        self.process_index = process_index
         self.epoch = 0
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = len(self.dataset) // self.process_count
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -54,6 +68,10 @@ class DataLoader:
         if self.shuffle:
             rs = np.random.RandomState(self.seed + self.epoch)
             rs.shuffle(idx)
+        if self.process_count > 1:
+            # identical permutation everywhere, disjoint strided shards
+            n = (len(idx) // self.process_count) * self.process_count
+            idx = idx[: n][self.process_index :: self.process_count]
         return idx
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:

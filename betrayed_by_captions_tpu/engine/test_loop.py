@@ -84,6 +84,12 @@ def evaluate(
     n = len(dataset) if max_images is None else min(max_images, len(dataset))
     bs = int(cfg.get("eval_batch_size", 4))
 
+    # multi-host: each process evaluates a strided slice of the val set;
+    # results are gathered through the shared filesystem (reference
+    # collect_results_cpu) and only process 0 computes metrics
+    pid, pcount = jax.process_index(), jax.process_count()
+    my_indices = [i for i in range(n) if i % pcount == pid]
+
     # batch images in two static aspect buckets (landscape 800x1344 /
     # portrait 1344x800, from the test transform) so the jitted forward
     # compiles at most twice; the tail of each bucket is padded by
@@ -93,11 +99,11 @@ def evaluate(
         return info.get("height", 0) > info.get("width", 1)
 
     buckets: Dict[bool, List[int]] = {False: [], True: []}
-    for idx in range(n):
+    for idx in my_indices:
         buckets[is_portrait(idx)].append(idx)
 
-    results_per_type: Dict[str, List[Optional[dict]]] = {
-        et: [None] * n for et in eval_types
+    results_per_type: Dict[str, Dict[int, Optional[dict]]] = {
+        et: {} for et in eval_types
     }
     for idxs in buckets.values():
         for start in range(0, len(idxs), bs):
@@ -130,8 +136,19 @@ def evaluate(
                         labels=labels, scores=scores, boxes=boxes, masks=bmasks
                     )
 
+    from ..parallel.multihost import collect_results_cpu
+
+    collected: Dict[str, List[dict]] = {}
+    for et in eval_types:
+        ordered = collect_results_cpu(
+            work_dir or ".", results_per_type[et], n, tag=f"eval_{et}"
+        )
+        if ordered is None:  # non-root process under multi-host
+            return {}
+        collected[et] = ordered
+
     metrics = dataset.evaluate(
-        results_per_type,
+        collected,
         {et: names_by_type.get(et) for et in eval_types},
         metrics=tuple(cfg.get("metrics", ("segm", "bbox"))),
     )

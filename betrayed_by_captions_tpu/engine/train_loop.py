@@ -23,7 +23,8 @@ from ..losses.criterion import CriterionConfig
 from ..models.bert import BertWordEmbeddings, load_bert_assets
 from ..models.class_banks import asset_path, load_class_banks
 from ..models.detector import build_detector
-from ..parallel.mesh import create_mesh, shard_batch
+from ..parallel.mesh import create_mesh
+from ..parallel.multihost import make_global_batch
 from ..utils.logging import MetricLogger
 from .checkpoint import (
     latest_step,
@@ -98,10 +99,15 @@ def train(cfg: Config, work_dir: str, resume: bool = False):
     model = build_detector(Config.fromdict(model_cfg))
 
     dataset = build_dataset(cfg.data.train, train=True)
+    # global batch defines the math (LR scaling, grounding BxB); each
+    # process loads only its local share (samples_per_device x local devs)
     batch_size = cfg.data.get("samples_per_device", 2) * jax.device_count()
+    local_batch = (
+        cfg.data.get("samples_per_device", 2) * jax.local_device_count()
+    )
     loader = DataLoader(
         dataset,
-        batch_size=batch_size,
+        batch_size=local_batch,
         num_workers=cfg.data.get("workers", 4),
         seed=cfg.get("seed", 0),
     )
@@ -141,9 +147,12 @@ def train(cfg: Config, work_dir: str, resume: bool = False):
         )
     )
     crit = criterion_from_cfg(cfg, banks.num_base)
-    step_fn = make_train_step(model, crit, banks.train_bank, bert)
-
     mesh = create_mesh()
+    # explicit-SPMD data parallelism (shard_map): matching stays
+    # device-local, grounding all_gathers, one psum for gradients
+    step_fn = make_train_step(
+        model, crit, banks.train_bank, bert, mesh=mesh
+    )
     logger = MetricLogger(work_dir, interval=cfg.get("log_interval", 50))
     max_epochs = cfg.get("max_epochs", 12)
     global_step = start_epoch * len(loader)
@@ -154,9 +163,7 @@ def train(cfg: Config, work_dir: str, resume: bool = False):
             loader.set_epoch(epoch)
             for batch in loader:
                 logger.data_tick()
-                device_batch = shard_batch(
-                    {k: jnp.asarray(v) for k, v in batch.items()}, mesh
-                )
+                device_batch = make_global_batch(batch, mesh)
                 rng, step_rng = jax.random.split(rng)
                 state, metrics = step_fn(state, device_batch, step_rng)
                 global_step += 1

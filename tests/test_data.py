@@ -251,3 +251,46 @@ class TestDataset:
         img, meta = ds[0]
         assert img.ndim == 3
         assert "ori_shape" in meta and "scale_factor" in meta
+
+
+class TestMultiProcessSharding:
+    class _Toy:
+        def __init__(self, n):
+            self.n = n
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            return {"x": np.asarray(i, np.int64)}
+
+    def test_disjoint_process_shards_cover_dataset(self):
+        """Two-process loaders see the same epoch permutation but disjoint
+        strided shards (multi-host data parallelism)."""
+        ds = self._Toy(13)
+        loaders = [
+            DataLoader(
+                ds, batch_size=2, num_workers=1, seed=5,
+                process_count=2, process_index=p,
+            )
+            for p in (0, 1)
+        ]
+        seen = []
+        for ld in loaders:
+            ld.set_epoch(1)
+            vals = [int(v) for b in ld for v in b["x"]]
+            assert len(vals) == len(ld) * 2
+            seen.append(set(vals))
+        assert seen[0].isdisjoint(seen[1])
+        # together they cover 12 of 13 items (trim to process multiple,
+        # then drop_last per process)
+        assert len(seen[0] | seen[1]) == 12
+
+    def test_collect_results_single_process(self, tmp_path):
+        from betrayed_by_captions_tpu.parallel.multihost import (
+            collect_results_cpu,
+        )
+
+        local = {i: f"r{i}" for i in range(4)}
+        out = collect_results_cpu(str(tmp_path), local, 4)
+        assert out == ["r0", "r1", "r2", "r3"]

@@ -25,7 +25,21 @@ def main():
     parser.add_argument(
         "--cfg-options", nargs="+", default=[], help="key=value overrides"
     )
+    parser.add_argument(
+        "--distributed",
+        action="store_true",
+        help="force jax.distributed.initialize (multi-host launch; also "
+        "auto-triggered by COORDINATOR_ADDRESS/NUM_PROCESSES env vars)",
+    )
     args = parser.parse_args()
+
+    from betrayed_by_captions_tpu.parallel.multihost import (
+        maybe_initialize_distributed,
+    )
+
+    pid, pcount = maybe_initialize_distributed(force=args.distributed)
+    if pcount > 1:
+        print(f"multi-host: process {pid}/{pcount}")
 
     cfg = Config.fromfile(args.config)
     cfg.merge_from_options(parse_cli_options(args.cfg_options))
