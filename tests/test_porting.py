@@ -3,6 +3,8 @@ reference architecture's exact shapes must convert into a tree that
 matches the flagship model's initialized params (no missing keys, no
 shape mismatches)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -169,3 +171,168 @@ class TestPorting:
         converted = convert_torchvision_resnet(resnet50_state_dict())
         missing, extra, mismatched = verify_against_template(converted, params)
         assert not missing and not extra and not mismatched
+
+
+class TestPortingNumerics:
+    """Numerical (not just shape) cross-layout verification: torch modules
+    with the reference's parameter layout vs our flax modules fed through
+    the porting conversion (VERDICT round-1 item 5)."""
+
+    def test_packed_qkv_attention_matches_torch(self):
+        import torch
+
+        from betrayed_by_captions_tpu.engine.porting import _packed_qkv
+        from betrayed_by_captions_tpu.models.attention import (
+            MultiHeadAttention,
+        )
+
+        torch.manual_seed(0)
+        c, h, b, nq, nk = 32, 4, 2, 5, 7
+        mha = torch.nn.MultiheadAttention(c, h, batch_first=True)
+        mha.eval()
+        q = torch.randn(b, nq, c)
+        k = torch.randn(b, nk, c)
+        v = torch.randn(b, nk, c)
+        with torch.no_grad():
+            want, _ = mha(q, k, v, need_weights=False)
+
+        sd = {
+            f"m.{kk}": vv.detach().numpy()
+            for kk, vv in mha.state_dict().items()
+        }
+        tree = {}
+        _packed_qkv(tree, "attn", sd, "m")
+        ours = MultiHeadAttention(embed_dim=c, num_heads=h)
+        got = ours.apply(
+            {"params": tree["attn"]},
+            jnp.asarray(q.numpy()),
+            jnp.asarray(k.numpy()),
+            jnp.asarray(v.numpy()),
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), want.numpy(), rtol=1e-4, atol=1e-5
+        )
+
+    def test_resnet50_matches_torch_reference(self):
+        """Full ported ResNet-50 vs an eval-mode torch functional forward
+        built from the same state dict (frozen BN, 'pytorch'-style stride
+        on conv2, 3x3/2 maxpool)."""
+        import torch
+        import torch.nn.functional as F
+
+        from betrayed_by_captions_tpu.models.resnet import ResNet
+
+        sd_np = resnet50_state_dict()
+        sd = {k: torch.from_numpy(v) for k, v in sd_np.items()}
+        # positive variances + small conv weights keep activations O(1)
+        # so fp32 tolerances stay meaningful through 50 layers
+        for k in list(sd):
+            if k.endswith("running_var"):
+                sd[k] = sd[k].abs() + 0.5
+            elif sd[k].ndim == 4:
+                sd[k] = sd[k] * 0.05
+
+        def bn(x, p, eps=1e-5):
+            w = sd[p + ".weight"][None, :, None, None]
+            bsh = sd[p + ".bias"][None, :, None, None]
+            m = sd[p + ".running_mean"][None, :, None, None]
+            v = sd[p + ".running_var"][None, :, None, None]
+            return (x - m) / torch.sqrt(v + eps) * w + bsh
+
+        def bottleneck(x, p, stride):
+            out = F.relu(bn(F.conv2d(x, sd[p + ".conv1.weight"]), p + ".bn1"))
+            out = F.relu(
+                bn(
+                    F.conv2d(
+                        out, sd[p + ".conv2.weight"], stride=stride, padding=1
+                    ),
+                    p + ".bn2",
+                )
+            )
+            out = bn(F.conv2d(out, sd[p + ".conv3.weight"]), p + ".bn3")
+            if p + ".downsample.0.weight" in sd:
+                x = bn(
+                    F.conv2d(x, sd[p + ".downsample.0.weight"], stride=stride),
+                    p + ".downsample.1",
+                )
+            return F.relu(out + x)
+
+        def torch_forward(x):
+            x = F.conv2d(x, sd["conv1.weight"], stride=2, padding=3)
+            x = F.relu(bn(x, "bn1"))
+            x = F.max_pool2d(x, 3, stride=2, padding=1)
+            outs = []
+            for si, n in enumerate([3, 4, 6, 3]):
+                for bi in range(n):
+                    stride = 2 if (si > 0 and bi == 0) else 1
+                    x = bottleneck(x, f"layer{si + 1}.{bi}", stride)
+                outs.append(x)
+            return outs
+
+        rs = np.random.RandomState(3)
+        img = rs.rand(1, 64, 96, 3).astype(np.float32)
+        with torch.no_grad():
+            want = torch_forward(
+                torch.from_numpy(np.transpose(img, (0, 3, 1, 2)))
+            )
+
+        sd_fixed = {k: v.numpy() for k, v in sd.items()}
+        params = convert_torchvision_resnet(sd_fixed)
+        model = ResNet()
+        got = model.apply({"params": params}, jnp.asarray(img))
+        assert len(got) == 4
+        for gi, wi in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(gi),
+                np.transpose(wi.numpy(), (0, 2, 3, 1)),
+                rtol=2e-3,
+                atol=2e-3,
+            )
+
+
+class TestPortCheckpointCLI:
+    def test_port_then_load_then_forward(self, tmp_path):
+        """End-to-end parity harness: torch .pth -> tools/port_checkpoint
+        -> engine.checkpoint.load_params -> forward (VERDICT item 5; with
+        the released coco_b48n17 checkpoint this same chain feeds
+        examples/demo.py)."""
+        import subprocess
+        import sys as _sys
+
+        import torch
+
+        from betrayed_by_captions_tpu.engine.checkpoint import load_params
+
+        # scale weights down: raw randn through 9 stacked decoder layers
+        # overflows fp32 (this fixture exists to exercise the layout
+        # conversion, not realistic magnitudes)
+        sd = {}
+        for k, v in reference_state_dict().items():
+            t = torch.from_numpy(v)
+            if k.endswith("running_var"):
+                t = t.abs() + 0.5
+            elif t.ndim >= 2:
+                t = t * 0.02
+            sd[k] = t
+        ckpt = tmp_path / "ref.pth"
+        torch.save({"state_dict": sd}, ckpt)
+        out_npz = tmp_path / "ported.npz"
+
+        repo = os.path.join(os.path.dirname(__file__), "..")
+        proc = subprocess.run(
+            [_sys.executable, os.path.join(repo, "tools", "port_checkpoint.py"),
+             str(ckpt), str(out_npz)],
+            capture_output=True, text=True, timeout=300,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert out_npz.exists()
+
+        model = Mask2FormerOpen(num_classes=48)
+        template = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 64, 64, 3)),
+            method="init_forward",
+        )["params"]
+        params = load_params(str(out_npz), template)
+        out = model.apply({"params": params}, jnp.zeros((1, 64, 64, 3)))
+        assert np.isfinite(np.asarray(out["cls_scores"])).all()
