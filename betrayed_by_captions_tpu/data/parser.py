@@ -166,9 +166,70 @@ class POSParser:
         return self._fallback.parse(sentence)
 
 
-def build_parser(kind: str = "lvis"):
+class ImageNet21KParser:
+    """Match lemmatized ImageNet-21k class names inside captions
+    (reference parser.py:28-82; unused by shipped configs, and the
+    reference does not ship its ``imagenet-21k.txt`` asset either — pass
+    the class-name file explicitly).
+
+    ``parse(sentence)`` returns (matched names, 0-based class indices);
+    with ``add_adj`` adjectives are appended like the reference's
+    NLTK-POS pass (ids list stays aligned to matched class names only).
+    """
+
+    def __init__(self, class_names_file: str, add_adj: bool = False):
+        if not os.path.exists(class_names_file):
+            raise FileNotFoundError(
+                f"ImageNet-21k class-name list not found: {class_names_file}"
+                " (one class name per whitespace token, underscores for"
+                " spaces — the reference repo does not ship this file)"
+            )
+        with open(class_names_file) as f:
+            names = f.read().split()
+        self.add_adj = add_adj
+        self.class_names: List[str] = []
+        self.look_up: Dict[str, int] = {}
+        for i, name in enumerate(names):
+            name = name.lower().replace("_", " ")
+            self.class_names.append(name)
+            # reference stops at a '(' token (parenthesized qualifiers)
+            words = []
+            for word in name.split():
+                if word.startswith("("):
+                    break
+                words.append(lemmatize_word(word))
+            lemma = " ".join(words).replace(" - ", "-")
+            if lemma:
+                self.look_up[lemma] = i
+        self._patterns = sorted(self.look_up, key=len, reverse=True)
+        # adjective tagging needs a real POS tagger; without NLTK corpora
+        # the add_adj pass is skipped (the fallback tagger only knows nouns)
+        self._adj_tagger = (
+            POSParser(allowed_tags=("JJ", "JJR", "JJS"))
+            if add_adj
+            else None
+        )
+
+    @lru_cache(maxsize=200000)
+    def parse(self, sentence: str) -> Tuple[Tuple[str, ...], Tuple[int, ...]]:
+        lemma_sentence = " " + lemmatize_sentence(sentence) + " "
+        nouns: List[str] = []
+        ids: List[int] = []
+        for pat in self._patterns:
+            if f" {pat} " in lemma_sentence:
+                nouns.append(pat)
+                ids.append(self.look_up[pat])
+        if self._adj_tagger is not None and self._adj_tagger._nltk_ok:
+            adjs, _ = self._adj_tagger.parse(sentence)
+            nouns.extend(a for a in adjs if a not in nouns)
+        return tuple(nouns), tuple(ids)
+
+
+def build_parser(kind: str = "lvis", **kwargs):
     if kind == "lvis":
-        return LVISParser()
+        return LVISParser(**kwargs)
     if kind in ("nltk", "pos"):
-        return POSParser()
+        return POSParser(**kwargs)
+    if kind == "imagenet21k":
+        return ImageNet21KParser(**kwargs)
     raise ValueError(f"unknown parser kind {kind!r}")

@@ -177,7 +177,13 @@ def train(cfg: Config, work_dir: str, resume: bool = False):
             )
             print(f"epoch {epoch + 1}/{max_epochs} done; checkpoint saved")
 
+            # dynamic intervals (reference EvalHook dynamic_intervals,
+            # apis/eval_hooks.py:24-55): list of (start_epoch, interval)
+            # milestones; the latest reached milestone wins
             eval_interval = cfg.get("eval_interval", max_epochs)
+            for start, interval in cfg.get("eval_dynamic_intervals", ()):
+                if (epoch + 1) >= start:
+                    eval_interval = interval
             if (epoch + 1) % eval_interval == 0 and cfg.data.get("val"):
                 from .test_loop import evaluate as run_eval
 

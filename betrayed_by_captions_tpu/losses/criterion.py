@@ -274,6 +274,13 @@ def compute_losses(
         else (lambda x: x)
     )
 
+    # learnable softmax temperature overrides the static config value
+    # when the model exposes it (reference mask2former_head.py:228-229)
+    temperature = outputs.get(
+        "softmax_temperature", jnp.float32(cfg.softmax_temperature)
+    )
+    temperature = jnp.reshape(temperature, ())
+
     cls_scores = outputs["cls_scores"].astype(jnp.float32)
     cls_emb_preds = outputs["cls_emb_preds"].astype(jnp.float32)
     mask_preds = outputs["mask_preds"].astype(jnp.float32)
@@ -298,7 +305,7 @@ def compute_losses(
         # (L, B, Q, C+1)
         cls_emb_logits = (
             jnp.einsum("lbqd,cd->lbqc", cls_emb_preds, train_bank)
-            / cfg.softmax_temperature
+            / temperature
         )
     else:
         cls_emb_logits = None
@@ -385,7 +392,7 @@ def compute_losses(
                 g_emb_preds[li],
                 g_nouns_embs,
                 g_nouns_mask,
-                cfg.softmax_temperature,
+                temperature,
             )
 
         if cfg.use_caption_generation:

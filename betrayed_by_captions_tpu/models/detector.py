@@ -41,6 +41,8 @@ class Mask2FormerOpen(nn.Module):
     caption_num_layers: int = 4
     caption_ff_dim: int = 512
     caption_num_heads: int = 8
+    learnable_temperature: bool = False
+    softmax_temperature_init: float = 10.0
     attn_impl: str = "exact"
     dtype: Dtype = jnp.float32
 
@@ -56,6 +58,8 @@ class Mask2FormerOpen(nn.Module):
             num_decoder_layers=self.num_decoder_layers,
             use_class_emb=self.use_class_emb,
             pred_emb_norm=self.pred_emb_norm,
+            learnable_temperature=self.learnable_temperature,
+            softmax_temperature_init=self.softmax_temperature_init,
             attn_impl=self.attn_impl,
             dtype=self.dtype,
             name="head",
@@ -123,6 +127,8 @@ def build_detector(model_cfg: Config, dtype=jnp.float32) -> Mask2FormerOpen:
         pred_emb_norm=model_cfg.get("pred_emb_norm", False),
         vocab_size=model_cfg.get("vocab_size", 30522),
         max_caption_len=model_cfg.get("max_caption_len", 35),
+        learnable_temperature=model_cfg.get("learnable_temperature", False),
+        softmax_temperature_init=model_cfg.get("softmax_temperature", 10.0),
         attn_impl=model_cfg.get("attn_impl", "exact"),
         dtype=dtype,
     )

@@ -50,10 +50,23 @@ class Mask2FormerHeadOpen(nn.Module):
     ffn_dim: int = 2048
     use_class_emb: bool = True
     pred_emb_norm: bool = False  # reference kwarg (default config: False)
+    # learnable softmax temperature for the cls_emb/grounding logits
+    # (reference mask2former_head.py:228-229); the init value matches the
+    # criterion's static default
+    learnable_temperature: bool = False
+    softmax_temperature_init: float = 10.0
     attn_impl: str = "exact"
     dtype: Dtype = jnp.float32
 
     def setup(self):
+        if self.learnable_temperature:
+            self.softmax_temperature = self.param(
+                "softmax_temperature",
+                lambda key, shape: jnp.full(
+                    shape, self.softmax_temperature_init, jnp.float32
+                ),
+                (1,),
+            )
         self.pixel_decoder = MSDeformAttnPixelDecoder(
             feat_channels=self.feat_channels,
             out_channels=self.out_channels,
@@ -180,8 +193,11 @@ class Mask2FormerHeadOpen(nn.Module):
             emb_list.append(emb_pred)
             mask_list.append(mask_pred)
 
-        return {
+        out = {
             "cls_scores": jnp.stack(cls_list, axis=0),
             "cls_emb_preds": jnp.stack(emb_list, axis=0),
             "mask_preds": jnp.stack(mask_list, axis=0),
         }
+        if self.learnable_temperature:
+            out["softmax_temperature"] = self.softmax_temperature
+        return out

@@ -294,3 +294,23 @@ class TestMultiProcessSharding:
         local = {i: f"r{i}" for i in range(4)}
         out = collect_results_cpu(str(tmp_path), local, 4)
         assert out == ["r0", "r1", "r2", "r3"]
+
+
+class TestImageNet21KParser:
+    def test_matches_class_names(self, tmp_path):
+        from betrayed_by_captions_tpu.data.parser import ImageNet21KParser
+
+        names = tmp_path / "in21k.txt"
+        names.write_text("golden_retriever fire_hydrant dog bench\n")
+        p = ImageNet21KParser(str(names))
+        nouns, ids = p.parse("A golden retriever sitting near a fire hydrant")
+        assert "golden retriever" in nouns
+        assert "fire hydrant" in nouns
+        assert ids[nouns.index("golden retriever")] == 0
+        assert ids[nouns.index("fire hydrant")] == 1
+
+    def test_missing_file_raises(self):
+        from betrayed_by_captions_tpu.data.parser import ImageNet21KParser
+
+        with pytest.raises(FileNotFoundError):
+            ImageNet21KParser("/nonexistent/in21k.txt")

@@ -52,6 +52,8 @@ class TestConfig:
             "openset_panoptic/coco_panoptic_p10.py",
             "openset_panoptic/coco_panoptic_p20_ag_pretrain.py",
             "demo/ade20k_instance.py",
+            "demo/coco_instance_ag3x_1x.py",
+            "demo/coco_panoptic_p20.py",
         ]:
             cfg = Config.fromfile(os.path.join(root, rel))
             assert "model" in cfg and "data" in cfg, rel

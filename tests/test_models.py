@@ -133,3 +133,58 @@ class TestFusionHead:
         assert set(np.unique(pan)) <= set(range(0, 4)) | {4} | set(
             (np.arange(1, q + 1)[:, None] * 1000000 + np.arange(4)[None]).ravel()
         )
+
+
+class TestLearnableTemperature:
+    def test_param_exists_and_flows_into_losses(self):
+        """learnable_temperature exposes a trainable scalar that scales the
+        cls_emb/grounding logits (reference mask2former_head.py:228-229)."""
+        import jax
+
+        from betrayed_by_captions_tpu.losses.criterion import (
+            CriterionConfig,
+            compute_losses,
+        )
+        from betrayed_by_captions_tpu.models.detector import Mask2FormerOpen
+
+        model = Mask2FormerOpen(
+            num_classes=3,
+            num_queries=4,
+            feat_channels=32,
+            emb_dim=8,
+            num_decoder_layers=2,
+            use_caption_generation=False,
+            learnable_temperature=True,
+            softmax_temperature_init=7.0,
+        )
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+            method="init_forward",
+        )["params"]
+        assert "softmax_temperature" in params["head"]
+        np.testing.assert_allclose(
+            np.asarray(params["head"]["softmax_temperature"]), 7.0
+        )
+
+        batch = {
+            "gt_labels": jnp.zeros((1, 2), jnp.int32),
+            "gt_masks": jnp.ones((1, 2, 32, 32), jnp.float32),
+            "num_gts": jnp.ones((1,), jnp.int32),
+        }
+        bank = jnp.ones((4, 8), jnp.float32)
+        cfg = CriterionConfig(
+            num_classes=3, num_points=8, use_caption=False,
+            use_caption_generation=False,
+        )
+
+        def loss_of(params):
+            out = model.apply({"params": params}, jnp.zeros((1, 32, 32, 3)))
+            total, _ = compute_losses(
+                jax.random.PRNGKey(1), out, batch, bank, cfg
+            )
+            return total
+
+        g = jax.grad(loss_of)(params)
+        gt = np.asarray(g["head"]["softmax_temperature"])
+        assert np.isfinite(gt).all()
+        assert np.abs(gt).sum() > 0, "no gradient reaches the temperature"
