@@ -41,6 +41,10 @@ def evaluate(
     val_cfg["test_mode"] = True
     dataset = build_dataset(Config.fromdict(val_cfg), train=False)
 
+    if hasattr(dataset, "evaluate_pq"):
+        return _evaluate_panoptic(cfg, params, model, dataset, banks, work_dir,
+                                  max_images)
+
     eval_types = tuple(
         cfg.get("eval_types", ("all_results", "novel_results", "base_results"))
     )
@@ -152,6 +156,84 @@ def evaluate(
         {et: names_by_type.get(et) for et in eval_types},
         metrics=tuple(cfg.get("metrics", ("segm", "bbox"))),
     )
+    if work_dir:
+        import json
+
+        with open(os.path.join(work_dir, "eval.json"), "w") as f:
+            json.dump({k: float(v) for k, v in metrics.items()}, f, indent=2)
+    return metrics
+
+
+def _evaluate_panoptic(
+    cfg: Config,
+    params,
+    model,
+    dataset,
+    banks: ClassEmbeddingBanks,
+    work_dir: Optional[str],
+    max_images: Optional[int],
+) -> Dict[str, float]:
+    """OSPS evaluation: batched forward -> host panoptic fusion -> open-set
+    PQ (reference coco_panoptic_open.py:512-680)."""
+    from ..evaluation.osps import postprocess_panoptic_host
+    from ..parallel.multihost import collect_results_cpu
+
+    name2id = {
+        c["name"]: cid for cid, c in dataset.categories.items()
+    }
+    label_to_cat = [name2id[n] for n in banks.names_all]
+    isthing = np.array(
+        [dataset.categories[c].get("isthing", 0) == 1 for c in label_to_cat]
+    )
+    num_things = int(isthing.sum())
+    # panoptic fusion treats labels < num_things as things: the bank must
+    # be ordered things-first (true for the shipped panoptic embeddings)
+    assert isthing[:num_things].all(), "bank must order things before stuff"
+    all_bank = np.asarray(banks.all_bank)
+
+    forward = jax.jit(lambda p, x: model.apply({"params": p}, x))
+    n = len(dataset) if max_images is None else min(max_images, len(dataset))
+    bs = int(cfg.get("eval_batch_size", 4))
+    pid, pcount = jax.process_index(), jax.process_count()
+    my_indices = [i for i in range(n) if i % pcount == pid]
+
+    def is_portrait(idx: int) -> bool:
+        info = dataset.data_infos[idx]
+        return info.get("height", 0) > info.get("width", 1)
+
+    buckets: Dict[bool, List[int]] = {False: [], True: []}
+    for idx in my_indices:
+        buckets[is_portrait(idx)].append(idx)
+
+    local: Dict[int, np.ndarray] = {}
+    for idxs in buckets.values():
+        for start in range(0, len(idxs), bs):
+            chunk = idxs[start : start + bs]
+            loaded = [dataset[j] for j in chunk]
+            images = [im for im, _ in loaded]
+            metas = [m for _, m in loaded]
+            while len(images) < bs:
+                images.append(images[-1])
+            out = forward(params, jnp.asarray(np.stack(images)))
+            cls_emb_b = np.asarray(out["cls_emb_preds"][-1])
+            masks_b = np.asarray(out["mask_preds"][-1])
+            for bi, (j, meta) in enumerate(zip(chunk, metas)):
+                local[j] = postprocess_panoptic_host(
+                    cls_emb_b[bi],
+                    masks_b[bi],
+                    all_bank,
+                    num_things,
+                    img_shape=meta["img_shape"],
+                    ori_shape=meta["ori_shape"],
+                    pad_shape=meta["pad_shape"],
+                    object_mask_thr=cfg.get("object_mask_thr", 0.8),
+                    iou_thr=cfg.get("iou_thr", 0.8),
+                )
+
+    ordered = collect_results_cpu(work_dir or ".", local, n, tag="eval_pq")
+    if ordered is None:
+        return {}
+    metrics = dataset.evaluate_pq(ordered, label_to_cat)
     if work_dir:
         import json
 

@@ -199,3 +199,62 @@ class TestPanopticDataset:
         assert metrics["known_things.pq"] == pytest.approx(100.0)
         assert metrics["unknown_things.pq"] == pytest.approx(100.0)
         assert metrics["stuff.pq"] == pytest.approx(100.0)
+
+
+@pytest.mark.slow
+class TestPanopticEvalLoop:
+    def test_config_driven_osps_eval(self, panoptic_fixture, tmp_path):
+        """engine.test_loop routes panoptic datasets through the host
+        panoptic fusion + open-set PQ (batched, bucketed)."""
+        import jax
+        import jax.numpy as jnp
+
+        from betrayed_by_captions_tpu.config import Config
+        from betrayed_by_captions_tpu.engine import test_loop
+        from betrayed_by_captions_tpu.models.detector import build_detector
+
+        emb_dim = 16
+        rs = np.random.RandomState(0)
+        emb_file = tmp_path / "pan_emb.json"
+        with open(emb_file, "w") as f:
+            json.dump(
+                [
+                    {"id": 1, "name": "person", "emb": rs.randn(emb_dim).tolist()},
+                    {"id": 2, "name": "dog", "emb": rs.randn(emb_dim).tolist()},
+                    {"id": 7, "name": "grass", "emb": rs.randn(emb_dim).tolist()},
+                ],
+                f,
+            )
+        cfg = Config.fromdict(
+            dict(
+                assets=dict(class_to_emb_file=str(emb_file)),
+                model=dict(
+                    num_classes=3,
+                    num_queries=6,
+                    feat_channels=32,
+                    emb_dim=emb_dim,
+                    num_decoder_layers=2,
+                    use_caption_generation=False,
+                ),
+                data=dict(
+                    val=dict(
+                        type="CocoPanopticDatasetOpen",
+                        ann_file=panoptic_fixture["ann"],
+                        img_prefix=panoptic_fixture["root"],
+                        seg_prefix=os.path.join(panoptic_fixture["root"], "pngs"),
+                        unknown_file=panoptic_fixture["unknown"],
+                        test_scale=(128, 96),
+                        test_pad_bucket=(96, 128),
+                    ),
+                ),
+                eval_batch_size=2,
+            )
+        )
+        model = build_detector(Config.fromdict(dict(cfg.model)))
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 96, 128, 3))
+        )["params"]
+        metrics = test_loop.evaluate(cfg, params, work_dir=str(tmp_path))
+        for key in ("known_things.pq", "unknown_things.pq", "stuff.pq", "all.pq"):
+            assert key in metrics, metrics.keys()
+        assert os.path.exists(tmp_path / "eval.json")

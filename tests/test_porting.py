@@ -290,6 +290,7 @@ class TestPortingNumerics:
             )
 
 
+@pytest.mark.slow
 class TestPortCheckpointCLI:
     def test_port_then_load_then_forward(self, tmp_path):
         """End-to-end parity harness: torch .pth -> tools/port_checkpoint
