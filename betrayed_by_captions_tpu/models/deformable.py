@@ -18,13 +18,13 @@ TPU-first semantic choice: sampling offsets are CLAMPED to
 ``window/2 - 1`` cells of each target level (``offset_clamp``), making
 every impl numerically identical (windowed sampling never leaves its
 window) and train (exact) / eval (pallas) consistent. The mmcv compass
-init reaches 4 cells, so with the default window of 8 the outermost
-init point starts at the clamp boundary of 3 — learned offsets stay
-bounded thereafter.
+init ladder (radii 1..4 cells) is rescaled so the outermost point starts
+at the clamp boundary (radii 0.75/1.5/2.25/3 at the default window of 8)
+instead of collapsing multiple points onto it.
 
-Initialization mirrors the reference semantics (sampling offsets start as
-a scaled 8-direction compass grid, attention weights start at zero) since
-training parity depends on it.
+Initialization otherwise mirrors the reference semantics (sampling
+offsets start as a scaled 8-direction compass grid, attention weights
+start at zero) since training parity depends on it.
 """
 
 from __future__ import annotations
@@ -41,14 +41,23 @@ from ..ops.deform_attn import ms_deform_attn
 Dtype = Any
 
 
-def _compass_offset_init(num_heads: int, num_levels: int, num_points: int):
+def _compass_offset_init(
+    num_heads: int,
+    num_levels: int,
+    num_points: int,
+    max_offset: float = None,
+):
     """Bias init for sampling offsets: unit compass directions per head,
-    scaled by (point index + 1)."""
+    scaled by (point index + 1). With a ``max_offset`` below num_points
+    (tight sampling windows), the ladder is rescaled so the outermost
+    point starts at the clamp boundary instead of collapsing onto it."""
     thetas = np.arange(num_heads, dtype=np.float64) * (2 * math.pi / num_heads)
     grid = np.stack([np.cos(thetas), np.sin(thetas)], axis=-1)  # (H, 2)
     grid = grid / np.abs(grid).max(axis=-1, keepdims=True)
     grid = np.tile(grid[:, None, None, :], (1, num_levels, num_points, 1))
     scale = np.arange(1, num_points + 1, dtype=np.float64)[None, None, :, None]
+    if max_offset is not None and max_offset < num_points:
+        scale = scale * (max_offset / num_points)
     grid = grid * scale
     flat = grid.reshape(-1).astype(np.float32)
 
@@ -105,7 +114,9 @@ class MSDeformAttention(nn.Module):
             nh * nl * npts * 2,
             dtype=self.dtype,
             kernel_init=nn.initializers.zeros,
-            bias_init=_compass_offset_init(nh, nl, npts),
+            bias_init=_compass_offset_init(
+                nh, nl, npts, max_offset=self.window / 2 - 1
+            ),
             name="sampling_offsets",
         )(query).reshape(b, s, nh, nl, npts, 2)
 

@@ -44,6 +44,7 @@ class Mask2FormerOpen(nn.Module):
     learnable_temperature: bool = False
     softmax_temperature_init: float = 10.0
     attn_impl: str = "exact"
+    deform_window: int = 8
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -61,6 +62,7 @@ class Mask2FormerOpen(nn.Module):
             learnable_temperature=self.learnable_temperature,
             softmax_temperature_init=self.softmax_temperature_init,
             attn_impl=self.attn_impl,
+            deform_window=self.deform_window,
             dtype=self.dtype,
             name="head",
         )
@@ -130,5 +132,6 @@ def build_detector(model_cfg: Config, dtype=jnp.float32) -> Mask2FormerOpen:
         learnable_temperature=model_cfg.get("learnable_temperature", False),
         softmax_temperature_init=model_cfg.get("softmax_temperature", 10.0),
         attn_impl=model_cfg.get("attn_impl", "exact"),
+        deform_window=model_cfg.get("deform_window", 8),
         dtype=dtype,
     )

@@ -56,6 +56,7 @@ class Mask2FormerHeadOpen(nn.Module):
     learnable_temperature: bool = False
     softmax_temperature_init: float = 10.0
     attn_impl: str = "exact"
+    deform_window: int = 8
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -71,6 +72,7 @@ class Mask2FormerHeadOpen(nn.Module):
             feat_channels=self.feat_channels,
             out_channels=self.out_channels,
             attn_impl=self.attn_impl,
+            window=self.deform_window,
             dtype=self.dtype,
             name="pixel_decoder",
         )

@@ -39,6 +39,7 @@ class EncoderLayer(nn.Module):
     num_points: int = 4
     ffn_dim: int = 1024
     attn_impl: str = "exact"
+    window: int = 8
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -49,6 +50,7 @@ class EncoderLayer(nn.Module):
             num_levels=self.num_levels,
             num_points=self.num_points,
             attn_impl=self.attn_impl,
+            window=self.window,
             dtype=self.dtype,
             name="attn",
         )(tokens + pos, tokens, reference_points, spatial_shapes)
@@ -67,6 +69,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
     num_points: int = 4
     ffn_dim: int = 1024
     attn_impl: str = "exact"
+    window: int = 8
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -111,6 +114,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
                 num_points=self.num_points,
                 ffn_dim=self.ffn_dim,
                 attn_impl=self.attn_impl,
+                window=self.window,
                 dtype=self.dtype,
                 name=f"encoder_layer{li}",
             )(tokens, pos, reference_points, spatial_shapes)

@@ -22,6 +22,9 @@ model = dict(
     pred_emb_norm=False,
     vocab_size=30522,
     max_caption_len=35,
+    # TPU-first: 6-cell deformable sampling window (offsets clamped to
+    # +-2 cells; see models/deformable.py docstring)
+    deform_window=6,
 )
 
 criterion = dict(

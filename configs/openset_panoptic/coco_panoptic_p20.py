@@ -18,6 +18,8 @@ model = dict(
     num_decoder_layers=9,
     use_class_emb=True,
     use_caption_generation=True,
+    # TPU-first: 6-cell deformable sampling window (models/deformable.py)
+    deform_window=6,
 )
 
 criterion = dict(

@@ -1,12 +1,10 @@
 """Benchmark: COCO-val-style inference throughput on one TPU chip.
 
 Measures end-to-end per-image inference of the flagship Mask2Former-Open
-R50 (bf16 compute): backbone -> pixel decoder (6-layer windowed-deformable
-encoder, fused Pallas kernels, 6-cell sampling window — the TPU-first
-semantic documented in models/deformable.py) -> 9-layer masked-attention
-decoder -> mask upsample to the padded input -> open-vocabulary instance
-post-processing, at the reference's test resolution (1333x800 keep-ratio
--> 800x1344 padded bucket;
+R50 (bf16 compute): backbone -> pixel decoder (6-layer deformable encoder)
+-> 9-layer masked-attention decoder -> mask upsample to the padded input
+-> open-vocabulary instance post-processing, at the reference's test
+resolution (1333x800 keep-ratio -> 800x1344 padded bucket;
 /root/reference/configs/instance/coco_b48n17.py test_pipeline).
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md).
@@ -26,7 +24,7 @@ A100_BASELINE_IPS = 19.4  # est.: mmdet Mask2Former-R50 V100 ~9.7 fps x2
 BATCH = 8
 HW = (800, 1344)
 WARMUP = 3
-ITERS = 8
+ITERS = 6
 
 
 def main():
@@ -61,7 +59,6 @@ def main():
         num_decoder_layers=9,
         use_caption_generation=False,
         attn_impl="windowed_pallas",
-        deform_window=6,
         dtype=jnp.bfloat16,
     )
     images = jnp.zeros((BATCH, HW[0], HW[1], 3), jnp.float32)
