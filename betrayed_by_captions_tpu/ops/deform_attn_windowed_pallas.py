@@ -23,10 +23,21 @@ levels (25,42)/(50,84)/(100,168)): ~47 ms per layer (9 pair calls), vs
 windowed composition (gathers and unfused shifted slabs respectively);
 in-graph with fused prep it profiles at ~25 ms/layer (6.3 ms/img).
 
-Forward-only: gradients are not defined through ``pallas_call``; training
-uses the exact gather composition (ops/deform_attn.py). The module-level
-offset clamp (models/deformable.py) keeps both paths numerically
-identical, so train (exact) and eval (this kernel) agree.
+Differentiable: each pair call carries a custom VJP backed by two
+backward kernels —
+
+- a query-aligned kernel producing d_attn and the fractional-coordinate
+  grads d_fx / d_fy (tent derivatives are +-1 indicators, so the grads
+  are windowed sums of per-cell inner products s_rc = <g, slab>),
+- a prep-aligned kernel producing d_value: the transpose of a static
+  shift is a static shift, so d_prep is ANOTHER windowed pass reading
+  (cw * g) at reversed row/column offsets — no scatter.
+
+d_prep then flows through the (XLA-differentiable) repeat / phase /
+padding prep back to d_value; d_fx / d_fy flow through the clamp and
+level scaling back to sampling_locations. The exact gather composition
+(ops/deform_attn.py) remains the cross-check path; the module-level
+offset clamp (models/deformable.py) keeps both numerically identical.
 """
 
 from __future__ import annotations
@@ -85,22 +96,312 @@ def _pair_kernel(
                 if mode == "same":
                     row0 = i + r + 1
                     col0 = c + 1
+                    slab = v_ref[0, 0, pl.ds(row0, rb), :, col0 : col0 + wpad]
                 elif mode == "coarser":
                     row0 = i + k * (r + 1) - k // 2
                     col0 = k * (c + 1) - k // 2
-                else:  # finer: pick phase copy, then slice
+                    slab = v_ref[0, 0, pl.ds(row0, rb), :, col0 : col0 + wpad]
+                else:  # finer: narrow phase-copy read, zero-pad to wpad
                     mr = (k - 1) // 2 + r + 1
                     mc = (k - 1) // 2 + c + 1
                     phase = (mr % k) * k + (mc % k)
                     row0 = phase * phase_rows + i + mr // k
                     col0 = mc // k
-                slab = v_ref[0, 0, pl.ds(row0, rb), :, col0 : col0 + wpad]
+                    narrow = v_ref.shape[-1] - col0
+                    slab = jnp.concatenate(
+                        [
+                            v_ref[0, 0, pl.ds(row0, rb), :, col0:],
+                            jnp.zeros(
+                                (rb, d, wpad - narrow), jnp.bfloat16
+                            ),
+                        ],
+                        axis=2,
+                    )
                 racc = racc + cw * slab
             acc = acc + racc.astype(jnp.float32)
         o_ref[0, 0, pl.ds(i, rb)] = acc.astype(jnp.bfloat16)
         return 0
 
     jax.lax.fori_loop(0, ha // rb, row_block, 0)
+
+
+def _cell_table(mode: str, k: int, window: int):
+    """Static per-cell (r, c) -> (phase_block, row_off, col_off) mapping
+    shared by the forward and backward kernels: the forward slab of cell
+    (r, c) for query row i lives at prep rows
+    ``phase_block * phase_rows + i + row_off`` and prep columns
+    ``[col_off, col_off + wpad)``."""
+    cells = []
+    for r in range(window):
+        for c in range(window):
+            if mode == "same":
+                cells.append((r, c, 0, r + 1, c + 1))
+            elif mode == "coarser":
+                cells.append(
+                    (r, c, 0, k * (r + 1) - k // 2, k * (c + 1) - k // 2)
+                )
+            else:  # finer
+                mr = (k - 1) // 2 + r + 1
+                mc = (k - 1) // 2 + c + 1
+                cells.append(
+                    (r, c, (mr % k) * k + (mc % k), mr // k, mc // k)
+                )
+    return cells
+
+
+def _bwd_query_kernel(
+    v_ref,  # (1, 1, ROWS, D, VLANES) prep, bf16
+    fx_ref,  # (1, 1, HA, P, WPAD) f32
+    fy_ref,
+    at_ref,  # bf16
+    g_ref,  # (1, 1, HA, D, WPAD) cotangent, bf16
+    dfx_ref,  # (1, 1, HA, P, WPAD) f32
+    dfy_ref,
+    dat_ref,
+    *,
+    window: int,
+    rb: int,
+    ha: int,
+    d: int,
+    wpad: int,
+    mode: str,
+    k: int,
+    phase_rows: int,
+):
+    cells = _cell_table(mode, k, window)
+
+    def row_block(ib, _):
+        i = ib * rb
+        fx = fx_ref[0, 0, pl.ds(i, rb)]
+        fy = fy_ref[0, 0, pl.ds(i, rb)]
+        at = at_ref[0, 0, pl.ds(i, rb)].astype(jnp.float32)
+        g = g_ref[0, 0, pl.ds(i, rb)].astype(jnp.float32)  # (rb, D, WPAD)
+        dfx = jnp.zeros_like(fx)
+        dfy = jnp.zeros_like(fy)
+        dat = jnp.zeros_like(fx)
+        for r in range(window):
+            dy = fy - r
+            ty = jnp.maximum(0.0, 1.0 - jnp.abs(dy))
+            dty = jnp.where(jnp.abs(dy) < 1.0, -jnp.sign(dy), 0.0)
+            for (rr, c, phase, row_off, col0) in cells:
+                if rr != r:
+                    continue
+                dx = fx - c
+                tx = jnp.maximum(0.0, 1.0 - jnp.abs(dx))
+                dtx = jnp.where(jnp.abs(dx) < 1.0, -jnp.sign(dx), 0.0)
+                row0 = phase * phase_rows + i + row_off
+                if mode == "finer":
+                    narrow = v_ref.shape[-1] - col0
+                    slab = jnp.concatenate(
+                        [
+                            v_ref[0, 0, pl.ds(row0, rb), :, col0:],
+                            jnp.zeros((rb, d, wpad - narrow), v_ref.dtype),
+                        ],
+                        axis=2,
+                    ).astype(jnp.float32)
+                else:
+                    slab = v_ref[
+                        0, 0, pl.ds(row0, rb), :, col0 : col0 + wpad
+                    ].astype(jnp.float32)
+                s = jnp.sum(g * slab, axis=1, keepdims=True)  # (rb,1,WPAD)
+                dat = dat + (ty * tx) * s
+                dfx = dfx + (at * ty * dtx) * s
+                dfy = dfy + (at * dty * tx) * s
+        dfx_ref[0, 0, pl.ds(i, rb)] = dfx
+        dfy_ref[0, 0, pl.ds(i, rb)] = dfy
+        dat_ref[0, 0, pl.ds(i, rb)] = dat
+        return 0
+
+    jax.lax.fori_loop(0, ha // rb, row_block, 0)
+
+
+def _bwd_prep_kernel(
+    fx_ref,  # (1, 1, RPAD, P, WPAD) f32, rows padded by rmt on top
+    fy_ref,
+    at_ref,  # bf16
+    g_ref,  # (1, 1, RPAD, D, WPAD) bf16
+    dv_ref,  # (1, 1, ROWS, D, VLANES) d_prep, bf16
+    *,
+    window: int,
+    rb: int,
+    d: int,
+    wpad: int,
+    mode: str,
+    k: int,
+    phase_rows: int,
+    rmt: int,  # top row margin of the padded query-aligned inputs
+    rows_out: int,  # rows per phase block of d_prep
+    n_phase: int,
+    cols_v: int,
+):
+    cells = _cell_table(mode, k, window)
+    nblocks = (rows_out + rb - 1) // rb
+
+    def make_body(phase):
+        cells_p = [cc for cc in cells if cc[2] == phase]
+
+        def body(tb, _):
+            # last block clamps so writes stay inside this phase region
+            # (overlapping rows are recomputed identically)
+            t = jnp.minimum(tb * rb, rows_out - rb)
+            acc = jnp.zeros((rb, d, cols_v), jnp.float32)
+            for (r, c, _, row_off, col0) in cells_p:
+                i_row = t - row_off + rmt
+                fx = fx_ref[0, 0, pl.ds(i_row, rb)]
+                fy = fy_ref[0, 0, pl.ds(i_row, rb)]
+                at = at_ref[0, 0, pl.ds(i_row, rb)].astype(jnp.float32)
+                g = g_ref[0, 0, pl.ds(i_row, rb)].astype(jnp.float32)
+                ty = jnp.maximum(0.0, 1.0 - jnp.abs(fy - r))
+                tx = jnp.maximum(0.0, 1.0 - jnp.abs(fx - c))
+                cw = jnp.sum(at * ty * tx, axis=1, keepdims=True)
+                cwg = cw * g  # (rb, D, WPAD)
+                # deposit at prep columns [col0, col0 + wpad); cwg past
+                # the (possibly lane-narrow) prep width corresponds to
+                # zero-cotangent padded query lanes and is dropped; skip
+                # zero-width pieces (Mosaic rejects 0-size vectors)
+                width = min(wpad, cols_v - col0)
+                parts = []
+                if col0 > 0:
+                    parts.append(jnp.zeros((rb, d, col0), jnp.float32))
+                parts.append(
+                    cwg if width == wpad
+                    else jax.lax.slice(cwg, (0, 0, 0), (rb, d, width))
+                )
+                tail = cols_v - col0 - width
+                if tail > 0:
+                    parts.append(jnp.zeros((rb, d, tail), jnp.float32))
+                acc = acc + (
+                    parts[0] if len(parts) == 1
+                    else jnp.concatenate(parts, axis=2)
+                )
+            dv_ref[0, 0, pl.ds(phase * rows_out + t, rb)] = acc.astype(
+                dv_ref.dtype
+            )
+            return 0
+
+        return body
+
+    for phase in range(n_phase):
+        jax.lax.fori_loop(0, nblocks, make_body(phase), 0)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_pair_fn(cfg):
+    """Cached custom-VJP pair function for one static configuration.
+
+    cfg = (b, nh, window, rb, ha_pad, p, d, wpad, mode, k, phase_rows,
+           rows_v, cols_v, interpret)
+    """
+    (b, nh, window, rb, ha_pad, p, d, wpad, mode, k, phase_rows, rows_v,
+     cols_v, interpret) = cfg
+
+    def spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(
+            (1, 1) + shape,
+            lambda bb, hh: (bb, hh) + (0,) * nd,
+            memory_space=pltpu.VMEM,
+        )
+
+    def fwd(prep, fx, fy, at):
+        kernel = functools.partial(
+            _pair_kernel, window=window, rb=rb, ha=ha_pad, d=d, wpad=wpad,
+            mode=mode, k=k, phase_rows=phase_rows,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(b, nh),
+            in_specs=[
+                spec((rows_v, d, cols_v)),
+                spec((ha_pad, p, wpad)),
+                spec((ha_pad, p, wpad)),
+                spec((ha_pad, p, wpad)),
+            ],
+            out_specs=spec((ha_pad, d, wpad)),
+            out_shape=jax.ShapeDtypeStruct(
+                (b, nh, ha_pad, d, wpad), jnp.bfloat16
+            ),
+            interpret=interpret,
+        )(prep, fx, fy, at)
+
+    def bwd(res, g):
+        prep, fx, fy, at = res
+        g = g.astype(jnp.bfloat16)
+
+        # --- query-aligned grads ---
+        qk = functools.partial(
+            _bwd_query_kernel, window=window, rb=rb, ha=ha_pad, d=d,
+            wpad=wpad, mode=mode, k=k, phase_rows=phase_rows,
+        )
+        f32q = jax.ShapeDtypeStruct((b, nh, ha_pad, p, wpad), jnp.float32)
+        dfx, dfy, dat = pl.pallas_call(
+            qk,
+            grid=(b, nh),
+            in_specs=[
+                spec((rows_v, d, cols_v)),
+                spec((ha_pad, p, wpad)),
+                spec((ha_pad, p, wpad)),
+                spec((ha_pad, p, wpad)),
+                spec((ha_pad, d, wpad)),
+            ],
+            out_specs=(
+                spec((ha_pad, p, wpad)),
+                spec((ha_pad, p, wpad)),
+                spec((ha_pad, p, wpad)),
+            ),
+            out_shape=(f32q, f32q, f32q),
+            interpret=interpret,
+        )(prep, fx, fy, at, g)
+
+        # --- prep-aligned d_value ---
+        cells = _cell_table(mode, k, window)
+        rmt = max(cc[3] for cc in cells)  # max row offset
+        n_phase = k * k if mode == "finer" else 1
+        rows_out = phase_rows if mode == "finer" else rows_v
+        # rows margin: reads span [t - row_off + rmt, ... + rb) for
+        # t <= rows_out - rb, so the padded height must reach rmt+rows_out+rb
+        rpad = rmt + rows_out + rb
+
+        def pad_rows(x):
+            return jnp.pad(
+                x, ((0, 0), (0, 0), (rmt, rpad - rmt - ha_pad), (0, 0), (0, 0))
+            )
+
+        pk = functools.partial(
+            _bwd_prep_kernel, window=window, rb=rb, d=d, wpad=wpad,
+            mode=mode, k=k, phase_rows=phase_rows, rmt=rmt,
+            rows_out=rows_out, n_phase=n_phase, cols_v=cols_v,
+        )
+        dprep = pl.pallas_call(
+            pk,
+            grid=(b, nh),
+            in_specs=[
+                spec((rpad, p, wpad)),
+                spec((rpad, p, wpad)),
+                spec((rpad, p, wpad)),
+                spec((rpad, d, wpad)),
+            ],
+            out_specs=spec((n_phase * rows_out, d, cols_v)),
+            out_shape=jax.ShapeDtypeStruct(
+                (b, nh, n_phase * rows_out, d, cols_v), jnp.bfloat16
+            ),
+            interpret=interpret,
+        )(pad_rows(fx), pad_rows(fy), pad_rows(at), pad_rows(g))
+        # n_phase * rows_out == rows_v by construction
+        return dprep, dfx, dfy, dat.astype(at.dtype)
+
+    @jax.custom_vjp
+    def pair_fn(prep, fx, fy, at):
+        return fwd(prep, fx, fy, at)
+
+    pair_fn.defvjp(
+        lambda prep, fx, fy, at: (
+            fwd(prep, fx, fy, at),
+            (prep, fx, fy, at),
+        ),
+        bwd,
+    )
+    return pair_fn
 
 
 def _prep_value_pair(
@@ -158,7 +459,11 @@ def _prep_value_pair(
     # i + (m // k) <= (ha_pad - 1) + ((k-1)//2 + w) // k + 1
     m_max = (k - 1) // 2 + w
     phase_rows = ha_pad + m_max // k + 1
-    phase_cols = wpad + m_max // k + 1
+    # lanes hold only the real decimated width (~wa) plus the shift
+    # margin; the kernels read this narrow slab and zero-pad it to wpad
+    # in registers — full-wpad phase copies waste up to 4x VMEM and OOM
+    # the backward kernels
+    phase_cols = wa + m_max // k + 2
     phases = []
     for pr in range(k):
         for pc in range(k):
@@ -265,52 +570,11 @@ def windowed_ms_deform_attn_pallas(
             )
             rows_v, cols_v = prep.shape[2], prep.shape[4]
 
-            kernel = functools.partial(
-                _pair_kernel,
-                window=w,
-                rb=rb,
-                ha=ha_pad,
-                d=d,
-                wpad=wpad,
-                mode=mode,
-                k=k,
-                phase_rows=phase_rows,
+            pair_fn = _make_pair_fn(
+                (b, nh, w, rb, ha_pad, p, d, wpad, mode, k, phase_rows,
+                 rows_v, cols_v, interpret)
             )
-            part = pl.pallas_call(
-                kernel,
-                grid=(b, nh),
-                in_specs=[
-                    pl.BlockSpec(
-                        (1, 1, rows_v, d, cols_v),
-                        lambda bb, hh: (bb, hh, 0, 0, 0),
-                        memory_space=pltpu.VMEM,
-                    ),
-                    pl.BlockSpec(
-                        (1, 1, ha_pad, p, wpad),
-                        lambda bb, hh: (bb, hh, 0, 0, 0),
-                        memory_space=pltpu.VMEM,
-                    ),
-                    pl.BlockSpec(
-                        (1, 1, ha_pad, p, wpad),
-                        lambda bb, hh: (bb, hh, 0, 0, 0),
-                        memory_space=pltpu.VMEM,
-                    ),
-                    pl.BlockSpec(
-                        (1, 1, ha_pad, p, wpad),
-                        lambda bb, hh: (bb, hh, 0, 0, 0),
-                        memory_space=pltpu.VMEM,
-                    ),
-                ],
-                out_specs=pl.BlockSpec(
-                    (1, 1, ha_pad, d, wpad),
-                    lambda bb, hh: (bb, hh, 0, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                out_shape=jax.ShapeDtypeStruct(
-                    (b, nh, ha_pad, d, wpad), jnp.bfloat16
-                ),
-                interpret=interpret,
-            )(prep, fx_k, fy_k, at_k)
+            part = pair_fn(prep, fx_k, fy_k, at_k)
             acc = part.astype(jnp.float32) if acc is None else acc + part
 
         # (B, H, Ha_pad, D, WPAD) -> (B, Ha*Wa, H*D)

@@ -18,8 +18,10 @@ model = dict(
     num_decoder_layers=9,
     use_class_emb=True,
     use_caption_generation=True,
-    # TPU-first: 6-cell deformable sampling window (models/deformable.py)
+    # TPU-first: 6-cell deformable sampling window (models/deformable.py),
+    # fused Pallas kernels with custom-VJP backward
     deform_window=6,
+    attn_impl="windowed_pallas",
 )
 
 criterion = dict(

@@ -95,6 +95,50 @@ class TestWindowedPallas:
             atol=0.05,
         )
 
+    @pytest.mark.slow  # interpret-mode backward kernels, minutes on CPU
+    @pytest.mark.parametrize("shapes", [[(8, 12)], SHAPES])
+    def test_gradients_match_exact_op(self, rng, shapes):
+        """The custom-VJP backward kernels must reproduce the exact
+        gather op's gradients for value, locations and attention weights
+        (in-window offsets; bf16-level tolerance)."""
+        from betrayed_by_captions_tpu.ops.deform_attn_windowed_pallas import (
+            windowed_ms_deform_attn_pallas,
+        )
+
+        value, locs, wgts = build_inputs(rng, shapes, max_offset_cells=2.0)
+        # keep sampling points off tent/cell boundaries: the subgradient
+        # at |fx - c| in {0, 1} is convention-dependent
+        probe = jax.random.normal(
+            jax.random.PRNGKey(0), value.shape[:2] + (value.shape[2] * value.shape[3],)
+        )
+
+        def loss(op):
+            def f(v, l, w):
+                out = op(v, shapes, l, w)
+                return (out.astype(jnp.float32) * probe).sum()
+            return f
+
+        want = jax.grad(loss(ms_deform_attn), argnums=(0, 1, 2))(
+            value, locs, wgts
+        )
+        got = jax.grad(
+            loss(
+                lambda v, s, l, w: windowed_ms_deform_attn_pallas(
+                    v, s, l, w, window=8, interpret=True
+                )
+            ),
+            argnums=(0, 1, 2),
+        )(value, locs, wgts)
+
+        for name, gw, gg in zip(("value", "locs", "wgts"), want, got):
+            gw = np.asarray(gw, np.float32)
+            gg = np.asarray(gg, np.float32)
+            scale = max(np.abs(gw).max(), 1e-6)
+            np.testing.assert_allclose(
+                gg / scale, gw / scale, rtol=0.0, atol=0.08,
+                err_msg=f"grad wrt {name} diverges",
+            )
+
 
 class TestWindowedDeformAttn:
     def test_matches_exact_op_in_window(self, rng):
