@@ -45,7 +45,9 @@ def main():
         load_class_banks,
     )
     from betrayed_by_captions_tpu.models.detector import Mask2FormerOpen
-    from betrayed_by_captions_tpu.models.fusion_head import instance_postprocess_emb
+    from betrayed_by_captions_tpu.models.fusion_head import (
+        instance_postprocess_shared,
+    )
 
     banks = load_class_banks(
         asset_path("embeddings", "coco_class_with_bert_emb.json"),
@@ -66,16 +68,27 @@ def main():
     )
     images = jnp.zeros((BATCH, HW[0], HW[1], 3), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), images[:1])["params"]
-    eval_step = make_eval_step(model)
+    eval_step = make_eval_step(model, upsample=False)
     all_bank = jnp.asarray(banks.all_bank)
 
     @jax.jit
     def full_inference(params, images):
         out = eval_step(params, images)
-        res = jax.vmap(
-            lambda e, m: instance_postprocess_emb(e, m, all_bank, 100)
-        )(out["cls_emb_preds"], out["mask_preds"])
-        return res.labels, res.scores, res.boxes, res.masks.sum(axis=(1, 2, 3))
+        sel, masks_binary = instance_postprocess_shared(
+            out["cls_emb_preds"],
+            out["mask_preds"],
+            {"all": all_bank},
+            out_hw=HW,
+            max_per_image=100,
+        )
+        res = sel["all"]
+        return (
+            res.labels,
+            res.scores,
+            res.boxes,
+            res.query_idx,
+            masks_binary.sum(axis=(1, 2, 3)),
+        )
 
     # warmup / compile
     for _ in range(WARMUP):

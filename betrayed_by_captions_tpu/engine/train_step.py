@@ -132,10 +132,16 @@ def make_train_step(
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model, input_hw: Optional[Tuple[int, int]] = None):
+def make_eval_step(
+    model,
+    input_hw: Optional[Tuple[int, int]] = None,
+    upsample: bool = True,
+):
     """Jitted inference: images -> last-layer (cls, emb, masks) with masks
     upsampled to the padded input resolution (reference simple_test,
-    mask2former_head.py:923-964)."""
+    mask2former_head.py:923-964). Pass ``upsample=False`` to keep masks at
+    model (stride-4) resolution — the fused post-processing path
+    (fusion_head.instance_postprocess_shared) upsamples in bf16 itself."""
 
     from ..ops.resize import bilinear_resize
 
@@ -145,10 +151,13 @@ def make_eval_step(model, input_hw: Optional[Tuple[int, int]] = None):
         cls = outputs["cls_scores"][-1]
         emb = outputs["cls_emb_preds"][-1]
         masks = outputs["mask_preds"][-1]
-        h, w = (
-            input_hw if input_hw is not None else (images.shape[1], images.shape[2])
-        )
-        masks = bilinear_resize(masks, h, w)
+        if upsample:
+            h, w = (
+                input_hw
+                if input_hw is not None
+                else (images.shape[1], images.shape[2])
+            )
+            masks = bilinear_resize(masks, h, w)
         return {"cls_scores": cls, "cls_emb_preds": emb, "mask_preds": masks}
 
     return eval_step

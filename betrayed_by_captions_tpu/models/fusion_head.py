@@ -18,7 +18,7 @@ zero background row dropped from scores
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,14 +41,45 @@ def get_cls_emb_scores(cls_emb: jnp.ndarray, bank: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.softmax(logits, axis=-1)
 
 
-def instance_postprocess_emb(
-    cls_emb: jnp.ndarray,  # (Q, d)
+class SelectedInstances(NamedTuple):
+    labels: jnp.ndarray  # (max_per_image,) int32 bank label index
+    scores: jnp.ndarray  # (max_per_image,) float32 det score
+    boxes: jnp.ndarray  # (max_per_image, 4) xyxy
+    query_idx: jnp.ndarray  # (max_per_image,) int32 index into the Q masks
+    valid: jnp.ndarray  # (max_per_image,) bool (False for tail padding)
+
+
+def query_mask_stats(
     mask_pred: jnp.ndarray,  # (Q, H, W) logits
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-query mask statistics, computed ONCE per image and shared by
+    every eval-type bank (the selection below only permutes/duplicates
+    queries, so per-(query,class) stats equal per-query stats; the
+    reference recomputes them per selected pair,
+    maskformer_fusion_head.py:340-363).
+
+    Returns (masks_binary (Q,H,W) bool, mask_scores (Q,), boxes (Q,4)).
+    """
+    masks_binary = mask_pred > 0
+    mask_prob = jax.nn.sigmoid(mask_pred.astype(jnp.float32))
+    pos = masks_binary.astype(jnp.float32)
+    mask_scores = (mask_prob * pos).sum(axis=(1, 2)) / (
+        pos.sum(axis=(1, 2)) + 1e-6
+    )
+    boxes = mask2bbox(masks_binary)
+    return masks_binary, mask_scores, boxes
+
+
+def instance_select(
+    cls_emb: jnp.ndarray,  # (Q, d)
     bank: jnp.ndarray,  # (C+1, d), trailing zero background row
+    mask_scores: jnp.ndarray,  # (Q,) from query_mask_stats
+    boxes: jnp.ndarray,  # (Q, 4) from query_mask_stats
     max_per_image: int = 100,
-) -> InstanceResults:
-    """Open-vocabulary instance post-processing for one image."""
-    q = cls_emb.shape[0]
+) -> SelectedInstances:
+    """Top-``max_per_image`` (query, class) pairs for one bank; mask data
+    is referenced by ``query_idx`` instead of materializing (k, H, W)
+    duplicates."""
     scores_full = get_cls_emb_scores(cls_emb, bank)  # (Q, C+1)
     scores = scores_full[:, :-1]  # drop background
     num_cls = scores.shape[-1]
@@ -57,23 +88,34 @@ def instance_postprocess_emb(
     k = min(max_per_image, flat_scores.shape[0])
     top_scores, top_idx = jax.lax.top_k(flat_scores, k)
     labels = (top_idx % num_cls).astype(jnp.int32)
-    query_idx = top_idx // num_cls
-
-    masks = jnp.take(mask_pred, query_idx, axis=0)  # (k, H, W)
-    masks_binary = masks > 0
-    mask_prob = jax.nn.sigmoid(masks)
-    pos = masks_binary.astype(jnp.float32)
-    mask_scores = (mask_prob * pos).sum(axis=(1, 2)) / (pos.sum(axis=(1, 2)) + 1e-6)
-    det_scores = top_scores * mask_scores
-    boxes = mask2bbox(masks_binary)
+    query_idx = (top_idx // num_cls).astype(jnp.int32)
+    det_scores = top_scores * mask_scores[query_idx]
+    sel_boxes = boxes[query_idx]
+    valid = jnp.ones((k,), jnp.bool_)
 
     if k < max_per_image:  # pad to the static contract
         pad = max_per_image - k
         labels = jnp.pad(labels, (0, pad))
         det_scores = jnp.pad(det_scores, (0, pad))
-        boxes = jnp.pad(boxes, ((0, pad), (0, 0)))
-        masks_binary = jnp.pad(masks_binary, ((0, pad), (0, 0), (0, 0)))
-    return InstanceResults(labels, det_scores, boxes, masks_binary)
+        sel_boxes = jnp.pad(sel_boxes, ((0, pad), (0, 0)))
+        query_idx = jnp.pad(query_idx, (0, pad))
+        valid = jnp.pad(valid, (0, pad))
+    return SelectedInstances(labels, det_scores, sel_boxes, query_idx, valid)
+
+
+def instance_postprocess_emb(
+    cls_emb: jnp.ndarray,  # (Q, d)
+    mask_pred: jnp.ndarray,  # (Q, H, W) logits
+    bank: jnp.ndarray,  # (C+1, d), trailing zero background row
+    max_per_image: int = 100,
+) -> InstanceResults:
+    """Open-vocabulary instance post-processing for one image."""
+    masks_binary_q, mask_scores, boxes = query_mask_stats(mask_pred)
+    sel = instance_select(cls_emb, bank, mask_scores, boxes, max_per_image)
+    masks_binary = jnp.take(masks_binary_q, sel.query_idx, axis=0)
+    # padded tail entries carry empty masks (static contract)
+    masks_binary = masks_binary & sel.valid[:, None, None]
+    return InstanceResults(sel.labels, sel.scores, sel.boxes, masks_binary)
 
 
 def panoptic_postprocess_emb(
@@ -139,6 +181,45 @@ def panoptic_postprocess_emb(
     background = jnp.int32(num_classes)
     panoptic = jnp.where(write.any(axis=0), panoptic, background)
     return jnp.where(any_valid, panoptic, jnp.full((h, w), background, jnp.int32))
+
+
+def instance_postprocess_shared(
+    cls_emb: jnp.ndarray,  # (B, Q, d)
+    mask_pred: jnp.ndarray,  # (B, Q, h, w) logits at model resolution
+    banks: Dict[str, jnp.ndarray],  # bank_key -> (C+1, d)
+    out_hw: Optional[Tuple[int, int]] = None,  # upsample target (H, W)
+    max_per_image: int = 100,
+    mask_dtype=jnp.bfloat16,
+) -> Tuple[Dict[str, SelectedInstances], jnp.ndarray]:
+    """Batched instance post-processing with the expensive full-resolution
+    work (upsample, sigmoid/threshold reductions, boxes) done ONCE per
+    image and shared across all eval-type banks.
+
+    This is the TPU-first restructuring of the reference's per-eval-type
+    loop (maskformer_fusion_head.py:436-450 runs the full post-processing
+    three times on the same upsampled masks): upsampling runs in bf16 on
+    the phase-decomposed path, per-query stats are computed in one fused
+    pass, and per-bank selection only touches (Q, C) score matrices.
+
+    Returns ({bank_key: SelectedInstances (B, ...)}, masks_binary
+    (B, Q, H, W) bool — indexed by ``query_idx``).
+    """
+    from ..ops.resize import bilinear_resize
+
+    if out_hw is not None:
+        mask_pred = bilinear_resize(
+            mask_pred.astype(mask_dtype), out_hw[0], out_hw[1]
+        )
+    masks_binary, mask_scores, boxes = jax.vmap(query_mask_stats)(mask_pred)
+    selected = {
+        key: jax.vmap(
+            lambda e, ms, bx, _bank=bank: instance_select(
+                e, _bank, ms, bx, max_per_image
+            )
+        )(cls_emb, mask_scores, boxes)
+        for key, bank in banks.items()
+    }
+    return selected, masks_binary
 
 
 def simple_test_fusion(

@@ -125,6 +125,310 @@ def _pair_kernel(
     jax.lax.fori_loop(0, ha // rb, row_block, 0)
 
 
+def _pair_kernel_packed(
+    v_ref,  # (1, HP, ROWS, D, VLANES)  value prep, bf16
+    fx_ref,  # (1, 1, HA, HP*P, WPAD)  f32, heads packed into sublanes
+    fy_ref,  # (1, 1, HA, HP*P, WPAD)  f32
+    at_ref,  # (1, 1, HA, HP*P, WPAD)  bf16
+    o_ref,  # (1, HP, HA, D, WPAD)  bf16
+    *,
+    window: int,
+    rb: int,
+    ha: int,
+    d: int,
+    p: int,
+    wpad: int,
+    mode: str,  # 'same' | 'coarser' | 'finer'
+    k: int,
+    phase_rows: int,
+    hp: int,  # heads per grid step
+):
+    """Issue-efficiency variant of :func:`_pair_kernel`:
+
+    - ``hp`` heads per grid step: their P-point weights share sublanes of
+      one vreg set (P=4 alone half-fills the 8 sublanes), halving the
+      per-head tent math and the grid/pipeline overhead;
+    - column-outer loop ('same'/'coarser' modes): the lane-shifted load is
+      a tall strided slab fetched once per column and re-sliced along the
+      free leading dim for every row cell — w tall loads instead of w*w
+      slab loads ('finer' mode keeps per-cell phase reads).
+    """
+    w = window
+
+    def row_block(ib, _):
+        i = ib * rb
+        fx = fx_ref[0, 0, pl.ds(i, rb)]  # (rb, HP*P, WPAD) f32
+        fy = fy_ref[0, 0, pl.ds(i, rb)]
+        at = at_ref[0, 0, pl.ds(i, rb)].astype(jnp.float32)
+        wys = []
+        for r in range(w):
+            ty = jnp.maximum(0.0, 1.0 - jnp.abs(fy - r))
+            wys.append(at * ty)
+        accs = [jnp.zeros((rb, d, wpad), jnp.float32) for _ in range(hp)]
+        if mode == "finer":
+            span = rb
+        elif mode == "same":
+            span = (w - 1) + rb
+        else:
+            span = k * (w - 1) + rb
+        for c in range(w):
+            tx = jnp.maximum(0.0, 1.0 - jnp.abs(fx - c))
+            # per-(r, head) dense cell weights, tent math shared across
+            # the packed heads
+            cws = []
+            for r in range(w):
+                m = wys[r] * tx  # (rb, HP*P, WPAD)
+                cws.append(
+                    [
+                        jnp.sum(
+                            m[:, h * p : (h + 1) * p], axis=1, keepdims=True
+                        ).astype(jnp.bfloat16)
+                        for h in range(hp)
+                    ]
+                )
+            if mode == "same":
+                row_lo = i + 1
+                col0 = c + 1
+            elif mode == "coarser":
+                row_lo = i + k - k // 2
+                col0 = k * (c + 1) - k // 2
+            for h in range(hp):
+                racc = jnp.zeros((rb, d, wpad), jnp.bfloat16)
+                if mode == "finer":
+                    for r in range(w):
+                        mr = (k - 1) // 2 + r + 1
+                        mc = (k - 1) // 2 + c + 1
+                        phase = (mr % k) * k + (mc % k)
+                        row0 = phase * phase_rows + i + mr // k
+                        fcol0 = mc // k
+                        narrow = v_ref.shape[-1] - fcol0
+                        slab = jnp.concatenate(
+                            [
+                                v_ref[0, h, pl.ds(row0, rb), :, fcol0:],
+                                jnp.zeros(
+                                    (rb, d, wpad - narrow), jnp.bfloat16
+                                ),
+                            ],
+                            axis=2,
+                        )
+                        racc = racc + cws[r][h] * slab
+                else:
+                    tall = v_ref[
+                        0, h, pl.ds(row_lo, span), :, col0 : col0 + wpad
+                    ]  # (span, D, WPAD) bf16
+                    step = 1 if mode == "same" else k
+                    for r in range(w):
+                        slab = jax.lax.slice(
+                            tall, (step * r, 0, 0), (step * r + rb, d, wpad)
+                        )
+                        racc = racc + cws[r][h] * slab
+                accs[h] = accs[h] + racc.astype(jnp.float32)
+        for h in range(hp):
+            o_ref[0, h, pl.ds(i, rb)] = accs[h].astype(jnp.bfloat16)
+        return 0
+
+    jax.lax.fori_loop(0, ha // rb, row_block, 0)
+
+
+def _merged_kernel_packed(
+    *refs,
+    window: int,
+    rb: int,
+    ha: int,
+    d: int,
+    p: int,
+    wpad: int,
+    level_cfgs: Tuple[Tuple[str, int, int], ...],  # (mode, k, phase_rows)
+    hp: int,
+):
+    """All value levels of one query level in ONE kernel launch.
+
+    refs = (v_0..v_{nl-1}, fx_0.., fy_0.., at_0.., o_ref). Fixed
+    per-``pallas_call`` cost measured at ~0.6 ms on v5e through 9
+    pair-launches per encoder layer; merging the value levels into one
+    launch per query level (3 total) removes ~2/3 of it AND keeps the
+    cross-level accumulator in registers instead of materializing three
+    (B, H, HA, D, WPAD) partial outputs that XLA then adds.
+    """
+    nl = len(level_cfgs)
+    v_refs = refs[:nl]
+    fx_refs = refs[nl : 2 * nl]
+    fy_refs = refs[2 * nl : 3 * nl]
+    at_refs = refs[3 * nl : 4 * nl]
+    o_ref = refs[4 * nl]
+    w = window
+
+    def row_block(ib, _):
+        i = ib * rb
+        accs = [jnp.zeros((rb, d, wpad), jnp.float32) for _ in range(hp)]
+        for li, (mode, k, phase_rows) in enumerate(level_cfgs):
+            v_ref = v_refs[li]
+            fx = fx_refs[li][0, 0, pl.ds(i, rb)]  # (rb, HP*P, WPAD) f32
+            fy = fy_refs[li][0, 0, pl.ds(i, rb)]
+            at = at_refs[li][0, 0, pl.ds(i, rb)].astype(jnp.float32)
+            wys = []
+            for r in range(w):
+                ty = jnp.maximum(0.0, 1.0 - jnp.abs(fy - r))
+                wys.append(at * ty)
+            if mode == "same":
+                span = (w - 1) + rb
+            elif mode == "coarser":
+                span = k * (w - 1) + rb
+            else:
+                span = rb
+            for c in range(w):
+                tx = jnp.maximum(0.0, 1.0 - jnp.abs(fx - c))
+                cws = []
+                for r in range(w):
+                    m = wys[r] * tx
+                    cws.append(
+                        [
+                            jnp.sum(
+                                m[:, h * p : (h + 1) * p],
+                                axis=1,
+                                keepdims=True,
+                            ).astype(jnp.bfloat16)
+                            for h in range(hp)
+                        ]
+                    )
+                if mode == "same":
+                    row_lo = i + 1
+                    col0 = c + 1
+                elif mode == "coarser":
+                    row_lo = i + k - k // 2
+                    col0 = k * (c + 1) - k // 2
+                for h in range(hp):
+                    racc = jnp.zeros((rb, d, wpad), jnp.bfloat16)
+                    if mode == "finer":
+                        for r in range(w):
+                            mr = (k - 1) // 2 + r + 1
+                            mc = (k - 1) // 2 + c + 1
+                            phase = (mr % k) * k + (mc % k)
+                            row0 = phase * phase_rows + i + mr // k
+                            fcol0 = mc // k
+                            narrow = v_ref.shape[-1] - fcol0
+                            slab = jnp.concatenate(
+                                [
+                                    v_ref[0, h, pl.ds(row0, rb), :, fcol0:],
+                                    jnp.zeros(
+                                        (rb, d, wpad - narrow), jnp.bfloat16
+                                    ),
+                                ],
+                                axis=2,
+                            )
+                            racc = racc + cws[r][h] * slab
+                    else:
+                        tall = v_ref[
+                            0, h, pl.ds(row_lo, span), :, col0 : col0 + wpad
+                        ]
+                        step = 1 if mode == "same" else k
+                        for r in range(w):
+                            slab = jax.lax.slice(
+                                tall,
+                                (step * r, 0, 0),
+                                (step * r + rb, d, wpad),
+                            )
+                            racc = racc + cws[r][h] * slab
+                    accs[h] = accs[h] + racc.astype(jnp.float32)
+        for h in range(hp):
+            o_ref[0, h, pl.ds(i, rb)] = accs[h].astype(jnp.bfloat16)
+        return 0
+
+    jax.lax.fori_loop(0, ha // rb, row_block, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_level_fn(cfg):
+    """Cached custom-VJP function for one QUERY level over all value
+    levels, with the level-merged packed forward kernel and the per-pair
+    backward kernels (same math, so the VJP decomposes per value level).
+
+    cfg = (b, nh, window, rb, ha_pad, p, d, wpad, hp, interpret,
+           level_cfgs) where level_cfgs is a tuple of
+    (mode, k, phase_rows, rows_v, cols_v) per value level.
+    """
+    (b, nh, window, rb, ha_pad, p, d, wpad, hp, interpret, level_cfgs) = cfg
+    nl = len(level_cfgs)
+
+    def spec(shape, heads=1):
+        nd = len(shape)
+        return pl.BlockSpec(
+            (1, heads) + shape,
+            lambda bb, hh: (bb, hh) + (0,) * nd,
+            memory_space=pltpu.VMEM,
+        )
+
+    def pack(x):  # (B, NH, HA, P, WPAD) -> (B, NH/hp, HA, hp*P, WPAD)
+        x = x.reshape(b, nh // hp, hp, ha_pad, p, wpad)
+        x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+        return x.reshape(b, nh // hp, ha_pad, hp * p, wpad)
+
+    def fwd(preps, fxs, fys, ats):
+        kernel = functools.partial(
+            _merged_kernel_packed,
+            window=window, rb=rb, ha=ha_pad, d=d, p=p, wpad=wpad,
+            level_cfgs=tuple(c[:3] for c in level_cfgs), hp=hp,
+        )
+        wspec = spec((ha_pad, hp * p, wpad))
+        return pl.pallas_call(
+            kernel,
+            grid=(b, nh // hp),
+            in_specs=(
+                [
+                    spec((c[3], d, c[4]), heads=hp)
+                    for c in level_cfgs
+                ]
+                + [wspec] * (3 * nl)
+            ),
+            out_specs=spec((ha_pad, d, wpad), heads=hp),
+            out_shape=jax.ShapeDtypeStruct(
+                (b, nh, ha_pad, d, wpad), jnp.bfloat16
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(
+            *preps,
+            *[pack(x) for x in fxs],
+            *[pack(x) for x in fys],
+            *[pack(x) for x in ats],
+        )
+
+    def bwd(res, g):
+        preps, fxs, fys, ats = res
+        d_preps, d_fxs, d_fys, d_ats = [], [], [], []
+        for li, (mode, k, phase_rows, rows_v, cols_v) in enumerate(
+            level_cfgs
+        ):
+            pair_fn = _make_pair_fn(
+                (b, nh, window, rb, ha_pad, p, d, wpad, mode, k,
+                 phase_rows, rows_v, cols_v, interpret, "cell", 1)
+            )
+            _, pair_bwd = jax.vjp(
+                pair_fn, preps[li], fxs[li], fys[li], ats[li]
+            )
+            dp, dfx, dfy, dat = pair_bwd(g)
+            d_preps.append(dp)
+            d_fxs.append(dfx)
+            d_fys.append(dfy)
+            d_ats.append(dat)
+        return tuple(d_preps), tuple(d_fxs), tuple(d_fys), tuple(d_ats)
+
+    @jax.custom_vjp
+    def level_fn(preps, fxs, fys, ats):
+        return fwd(preps, fxs, fys, ats)
+
+    level_fn.defvjp(
+        lambda preps, fxs, fys, ats: (
+            fwd(preps, fxs, fys, ats),
+            (preps, fxs, fys, ats),
+        ),
+        bwd,
+    )
+    return level_fn
+
+
 def _cell_table(mode: str, k: int, window: int):
     """Static per-cell (r, c) -> (phase_block, row_off, col_off) mapping
     shared by the forward and backward kernels: the forward slab of cell
@@ -290,20 +594,24 @@ def _make_pair_fn(cfg):
     """Cached custom-VJP pair function for one static configuration.
 
     cfg = (b, nh, window, rb, ha_pad, p, d, wpad, mode, k, phase_rows,
-           rows_v, cols_v, interpret)
+           rows_v, cols_v, interpret, variant, hp)
+
+    ``variant``: 'cell' = original per-cell forward kernel; 'packed' =
+    head-packed column-outer forward (``_pair_kernel_packed``). Both share
+    the same backward kernels (the VJP is of the same math).
     """
     (b, nh, window, rb, ha_pad, p, d, wpad, mode, k, phase_rows, rows_v,
-     cols_v, interpret) = cfg
+     cols_v, interpret, variant, hp) = cfg
 
-    def spec(shape):
+    def spec(shape, heads=1):
         nd = len(shape)
         return pl.BlockSpec(
-            (1, 1) + shape,
+            (1, heads) + shape,
             lambda bb, hh: (bb, hh) + (0,) * nd,
             memory_space=pltpu.VMEM,
         )
 
-    def fwd(prep, fx, fy, at):
+    def fwd_cell(prep, fx, fy, at):
         kernel = functools.partial(
             _pair_kernel, window=window, rb=rb, ha=ha_pad, d=d, wpad=wpad,
             mode=mode, k=k, phase_rows=phase_rows,
@@ -323,6 +631,39 @@ def _make_pair_fn(cfg):
             ),
             interpret=interpret,
         )(prep, fx, fy, at)
+
+    def fwd_packed(prep, fx, fy, at):
+        def pack(x):  # (B, NH, HA, P, WPAD) -> (B, NH/hp, HA, hp*P, WPAD)
+            x = x.reshape(b, nh // hp, hp, ha_pad, p, wpad)
+            x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+            return x.reshape(b, nh // hp, ha_pad, hp * p, wpad)
+
+        kernel = functools.partial(
+            _pair_kernel_packed, window=window, rb=rb, ha=ha_pad, d=d,
+            p=p, wpad=wpad, mode=mode, k=k, phase_rows=phase_rows, hp=hp,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(b, nh // hp),
+            in_specs=[
+                spec((rows_v, d, cols_v), heads=hp),
+                spec((ha_pad, hp * p, wpad)),
+                spec((ha_pad, hp * p, wpad)),
+                spec((ha_pad, hp * p, wpad)),
+            ],
+            out_specs=spec((ha_pad, d, wpad), heads=hp),
+            out_shape=jax.ShapeDtypeStruct(
+                (b, nh, ha_pad, d, wpad), jnp.bfloat16
+            ),
+            # the 2-head block set exceeds the default 16M scoped-vmem
+            # budget at the flagship stride-8 pair; v5e has 128M VMEM
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(prep, pack(fx), pack(fy), pack(at))
+
+    fwd = fwd_packed if variant == "packed" else fwd_cell
 
     def bwd(res, g):
         prep, fx, fy, at = res
@@ -485,12 +826,24 @@ def windowed_ms_deform_attn_pallas(
     attention_weights: jnp.ndarray,
     window: int = DEFAULT_WINDOW,
     interpret: bool = False,
+    variant: str = "packed",
 ) -> jnp.ndarray:
     """Fused windowed deformable self-attention. Returns (B, S, H*D).
 
     Matches ``windowed_ms_deform_attn`` (and, whenever offsets stay inside
     the window — guaranteed by the module-level clamp — the exact gather
     op) to bf16 tolerance: values are multiplied in bf16, accumulated f32.
+
+    ``variant`` selects the forward kernel structure (all numerically
+    equivalent; measured on v5e at the flagship layer, batch 4):
+    - 'cell': one launch per (query, value)-level pair, per-cell slab
+      loads (21.0 ms/layer),
+    - 'packed': 2 heads per grid step + column-outer tall-slab loads
+      (18.5 ms/layer),
+    - 'merged': 'packed' plus all value levels of a query level fused
+      into ONE launch — 3 launches per layer instead of 9, and the
+      cross-level accumulator stays in registers.
+    Falls back pair-wise ('cell') when the head count is odd.
     """
     b, s, nh, d = value.shape
     assert sampling_locations.shape[1] == s, "self-attention required"
@@ -517,11 +870,14 @@ def windowed_ms_deform_attn_pallas(
             jnp.transpose(v, (0, 3, 1, 4, 2)).astype(jnp.bfloat16)
         )  # (B, H, Hb, D, Wb)
 
+    import os
+
     out_levels: List[jnp.ndarray] = []
     for ai, (ha, wa) in enumerate(spatial_shapes):
         # row-block size MUST be a power of two: odd sizes (e.g. 5) hit a
-        # ~1000x Mosaic retiling cliff (measured 11s vs 10ms per call)
-        rb = 4
+        # ~1000x Mosaic retiling cliff (measured 11s vs 10ms per call).
+        # DEFORM_RB is an experimentation knob (tools/check_pallas_tpu.py).
+        rb = int(os.environ.get("DEFORM_RB", "4"))
         ha_pad = _round_up(ha, rb)
         wpad = _round_up(wa, 128)
 
@@ -536,6 +892,7 @@ def windowed_ms_deform_attn_pallas(
         )  # (B, H, Ha, Wa, L, P)
 
         acc = None
+        merged: List = []  # (prep, fx, fy, at, mode, k, phase_rows) per b
         for bi, (hb, wb) in enumerate(spatial_shapes):
             px = locs_a[..., bi, :, 0].astype(jnp.float32) * wb - 0.5
             py = locs_a[..., bi, :, 1].astype(jnp.float32) * hb - 0.5
@@ -570,12 +927,32 @@ def windowed_ms_deform_attn_pallas(
             )
             rows_v, cols_v = prep.shape[2], prep.shape[4]
 
+            hp = 2 if (variant != "cell" and nh % 2 == 0) else 1
+            if variant == "merged" and hp > 1:
+                merged.append((prep, fx_k, fy_k, at_k, mode, k, phase_rows))
+                continue
             pair_fn = _make_pair_fn(
                 (b, nh, w, rb, ha_pad, p, d, wpad, mode, k, phase_rows,
-                 rows_v, cols_v, interpret)
+                 rows_v, cols_v, interpret,
+                 "packed" if hp > 1 else "cell", hp)
             )
             part = pair_fn(prep, fx_k, fy_k, at_k)
             acc = part.astype(jnp.float32) if acc is None else acc + part
+
+        if merged:
+            level_cfgs = tuple(
+                (m[4], m[5], m[6], m[0].shape[2], m[0].shape[4])
+                for m in merged
+            )
+            level_fn = _make_level_fn(
+                (b, nh, w, rb, ha_pad, p, d, wpad, 2, interpret, level_cfgs)
+            )
+            acc = level_fn(
+                tuple(m[0] for m in merged),
+                tuple(m[1] for m in merged),
+                tuple(m[2] for m in merged),
+                tuple(m[3] for m in merged),
+            ).astype(jnp.float32)
 
         # (B, H, Ha_pad, D, WPAD) -> (B, Ha*Wa, H*D)
         out = acc[:, :, :ha, :, :wa]

@@ -11,7 +11,15 @@ matrices are trace-time numpy constants (static shapes), and the matmuls
 ride the MXU instead of emitting millions of scalar gathers. Semantics
 match torch's non-antialiased half-pixel-center bilinear exactly
 (source coord = max(0, (i + 0.5) * in/out - 0.5), right edge clamped).
-"""
+
+Exact integer upsampling (the hot case: stride-4 mask logits -> padded
+input, FPN x2 lateral upsampling) takes a phase-decomposed VPU path
+instead: for out = k*in, every output pixel is a 2-tap combination of
+neighbouring input pixels with one of k static phase weights, so the
+resize is k fused multiply-adds + an interleaving reshape — ~300x fewer
+FLOPs than the dense matmul and no MXU round-trip. Numerics match the
+matmul path exactly (same clamped half-pixel-center weights; verified in
+tests/test_ops.py)."""
 
 from __future__ import annotations
 
@@ -40,11 +48,55 @@ def _interp_matrix(in_size: int, out_size: int) -> np.ndarray:
     return m
 
 
+def _phase_weights(k: int):
+    """Per-phase 2-tap weights for an exact x``k`` bilinear upsample.
+
+    Output pixel ``k*i + p`` samples source coordinate
+    ``max(0, i + (p + 0.5)/k - 0.5)``; for offset o_p = (p+0.5)/k - 0.5
+    the taps are (left=x[i-1], self=x[i]) when o_p < 0 and
+    (self=x[i], right=x[i+1]) when o_p >= 0. Edge clamping of the
+    shifted neighbour reproduces the matmul path's clamped weights.
+    """
+    taps = []
+    for p in range(k):
+        o = (p + 0.5) / k - 0.5
+        if o < 0:
+            taps.append(("left", -o, 1.0 + o))
+        else:
+            taps.append(("right", 1.0 - o, o))
+    return taps
+
+
+def _upsample_axis_int(x: jnp.ndarray, k: int, axis: int) -> jnp.ndarray:
+    """Exact x``k`` bilinear upsample along ``axis`` via phase FMAs."""
+    if k == 1:
+        return x
+    x = jnp.moveaxis(x, axis, -1)
+    left = jnp.concatenate([x[..., :1], x[..., :-1]], axis=-1)
+    right = jnp.concatenate([x[..., 1:], x[..., -1:]], axis=-1)
+    phases = []
+    for kind, wa, wb in _phase_weights(k):
+        a = left if kind == "left" else x
+        b = x if kind == "left" else right
+        wa = jnp.asarray(wa, x.dtype)
+        wb = jnp.asarray(wb, x.dtype)
+        phases.append(wa * a + wb * b)
+    out = jnp.stack(phases, axis=-1)  # (..., in, k)
+    out = out.reshape(out.shape[:-2] + (out.shape[-2] * k,))
+    return jnp.moveaxis(out, -1, axis)
+
+
 def bilinear_resize(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """Resize the last two dims of ``x`` to (out_h, out_w), bilinear."""
     *lead, h, w = x.shape
     if (h, w) == (out_h, out_w):
         return x
+    if out_h % h == 0 and out_w % w == 0 and (out_h > h or out_w > w):
+        # exact integer upsample: phase-decomposed VPU path
+        dt = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+        y = x.astype(dt)
+        y = _upsample_axis_int(y, out_h // h, len(lead))
+        return _upsample_axis_int(y, out_w // w, len(lead) + 1)
     rh = jnp.asarray(_interp_matrix(h, out_h))  # (out_h, h)
     rw = jnp.asarray(_interp_matrix(w, out_w))  # (out_w, w)
     flat = x.reshape((-1, h, w))

@@ -60,7 +60,8 @@ class TestWindowedPallas:
             atol=0.05,
         )
 
-    def test_matches_exact_op(self, rng):
+    @pytest.mark.parametrize("variant", ["cell", "packed"])
+    def test_matches_exact_op(self, rng, variant):
         from betrayed_by_captions_tpu.ops.deform_attn_windowed_pallas import (
             windowed_ms_deform_attn_pallas,
         )
@@ -68,7 +69,8 @@ class TestWindowedPallas:
         value, locs, wgts = build_inputs(rng, SHAPES, max_offset_cells=2.0)
         want = ms_deform_attn(value, SHAPES, locs, wgts)
         got = windowed_ms_deform_attn_pallas(
-            value, SHAPES, locs, wgts, window=8, interpret=True
+            value, SHAPES, locs, wgts, window=8, interpret=True,
+            variant=variant,
         )
         np.testing.assert_allclose(
             np.asarray(got, np.float32),

@@ -112,6 +112,62 @@ class TestFusionHead:
         s = np.asarray(res.scores)
         assert (s >= 0).all() and (s <= 1).all()
 
+    def test_shared_postprocess_matches_per_image(self, rng):
+        """instance_postprocess_shared (stats once, per-bank select) must
+        reproduce instance_postprocess_emb on the upsampled masks."""
+        from betrayed_by_captions_tpu.models.fusion_head import (
+            instance_postprocess_shared,
+        )
+        from betrayed_by_captions_tpu.ops.resize import bilinear_resize
+
+        b, q, d, h, w = 2, 6, 8, 8, 12
+        emb = jnp.asarray(rng.randn(b, q, d).astype(np.float32))
+        masks = jnp.asarray(rng.randn(b, q, h, w).astype(np.float32) * 4)
+        banks = {
+            "all": jnp.asarray(
+                np.vstack([rng.randn(4, d), np.zeros((1, d))]).astype(
+                    np.float32
+                )
+            ),
+            "novel": jnp.asarray(
+                np.vstack([rng.randn(2, d), np.zeros((1, d))]).astype(
+                    np.float32
+                )
+            ),
+        }
+        out_hw = (h * 4, w * 4)
+        sel, masks_bin = instance_postprocess_shared(
+            emb, masks, banks, out_hw=out_hw, max_per_image=10,
+            mask_dtype=jnp.float32,
+        )
+        up = bilinear_resize(masks, *out_hw)
+        for key, bank in banks.items():
+            for bi in range(b):
+                ref = instance_postprocess_emb(
+                    emb[bi], up[bi], bank, max_per_image=10
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(sel[key].labels[bi]), np.asarray(ref.labels)
+                )
+                np.testing.assert_allclose(
+                    np.asarray(sel[key].scores[bi]),
+                    np.asarray(ref.scores),
+                    rtol=1e-5,
+                    atol=1e-6,
+                )
+                np.testing.assert_allclose(
+                    np.asarray(sel[key].boxes[bi]),
+                    np.asarray(ref.boxes),
+                    atol=1e-5,
+                )
+                got_masks = np.asarray(
+                    masks_bin[bi][np.asarray(sel[key].query_idx[bi])]
+                )
+                got_masks = got_masks & np.asarray(
+                    sel[key].valid[bi]
+                )[:, None, None]
+                np.testing.assert_array_equal(got_masks, np.asarray(ref.masks))
+
     def test_panoptic_postprocess(self, rng):
         q, d, h, w = 5, 8, 24, 24
         emb = rng.randn(q, d).astype(np.float32) * 3
