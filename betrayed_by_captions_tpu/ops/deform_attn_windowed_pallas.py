@@ -826,7 +826,7 @@ def windowed_ms_deform_attn_pallas(
     attention_weights: jnp.ndarray,
     window: int = DEFAULT_WINDOW,
     interpret: bool = False,
-    variant: str = "packed",
+    variant: str = "merged",
 ) -> jnp.ndarray:
     """Fused windowed deformable self-attention. Returns (B, S, H*D).
 
@@ -840,7 +840,7 @@ def windowed_ms_deform_attn_pallas(
       loads (21.0 ms/layer),
     - 'packed': 2 heads per grid step + column-outer tall-slab loads
       (18.5 ms/layer),
-    - 'merged': 'packed' plus all value levels of a query level fused
+    - 'merged' (default): 'packed' plus all value levels of a query level fused
       into ONE launch — 3 launches per layer instead of 9, and the
       cross-level accumulator stays in registers.
     Falls back pair-wise ('cell') when the head count is odd.

@@ -3,7 +3,8 @@
 Breaks bench.py's 'full_inference' into stages and times each jitted in
 isolation (backbone / pixel decoder / deformable-attn op / transformer
 decoder / mask upsample / post-processing), so perf work targets the real
-bottleneck. Writes findings to stdout; PERF.md summarizes.
+bottleneck. Defaults mirror bench.py (windowed Pallas kernel, window 6,
+bf16). Writes findings to stdout; PERF.md summarizes.
 """
 
 import argparse
@@ -23,7 +24,6 @@ enable_persistent_cache()
 
 from betrayed_by_captions_tpu.models.detector import Mask2FormerOpen
 
-BATCH = 4
 HW = (800, 1344)
 
 
@@ -34,24 +34,32 @@ def _fetch(out):
     np.asarray(jax.device_get(leaf[(0,) * leaf.ndim]))
 
 
-def timeit(fn, *args, warmup=2, iters=8, name=""):
-    for _ in range(warmup):
-        _fetch(fn(*args))
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = fn(*args)
-    _fetch(out)  # device serializes the queued executions
-    dt = (time.perf_counter() - t0) / iters
-    print(f"{name:40s} {dt * 1000:10.2f} ms  ({dt * 1000 / BATCH:.2f} ms/img)")
-    return dt
-
-
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--impl", default="windowed_pallas",
+                    choices=["exact", "windowed", "windowed_pallas"])
+    ap.add_argument("--window", type=int, default=6)
+    ap.add_argument("--variant", default="merged",
+                    choices=["cell", "packed", "merged"])
+    ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--trace", default=None, help="jax.profiler trace dir")
     args = ap.parse_args()
+    batch = args.batch
+
+    def timeit(fn, *fargs, warmup=2, iters=8, name=""):
+        for _ in range(warmup):
+            _fetch(fn(*fargs))
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = fn(*fargs)
+        _fetch(out)  # device serializes the queued executions
+        dt = (time.perf_counter() - t0) / iters
+        print(
+            f"{name:44s} {dt * 1000:10.2f} ms  "
+            f"({dt * 1000 / batch:.2f} ms/img)"
+        )
+        return dt
 
     model = Mask2FormerOpen(
         num_classes=48,
@@ -60,10 +68,11 @@ def main():
         emb_dim=768,
         num_decoder_layers=9,
         use_caption_generation=False,
-        attn_impl="windowed_pallas" if args.pallas else "exact",
+        attn_impl=args.impl,
+        deform_window=args.window,
         dtype=jnp.bfloat16,
     )
-    images = jnp.zeros((BATCH, HW[0], HW[1], 3), jnp.float32)
+    images = jnp.zeros((batch, HW[0], HW[1], 3), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), images[:1])["params"]
 
     # 1. backbone only
@@ -93,51 +102,58 @@ def main():
     timeit(full_forward, params, images, name="full forward (backbone+head)")
 
     # 4. deformable attn op alone at encoder shapes
-    from betrayed_by_captions_tpu.ops.deform_attn import ms_deform_attn
-
     shapes = [(HW[0] // 32, HW[1] // 32), (HW[0] // 16, HW[1] // 16), (HW[0] // 8, HW[1] // 8)]
     s = sum(h * w for h, w in shapes)
     rng = np.random.RandomState(0)
-    value = jnp.asarray(rng.randn(BATCH, s, 8, 32), jnp.bfloat16)
-    locs = jnp.asarray(rng.rand(BATCH, s, 8, 3, 4, 2), jnp.float32)
+    value = jnp.asarray(rng.randn(batch, s, 8, 32), jnp.bfloat16)
+    locs = jnp.asarray(rng.rand(batch, s, 8, 3, 4, 2), jnp.float32)
     wgts = jax.nn.softmax(
-        jnp.asarray(rng.randn(BATCH, s, 8, 3, 4), jnp.float32).reshape(BATCH, s, 8, 12)
-    ).reshape(BATCH, s, 8, 3, 4).astype(jnp.bfloat16)
+        jnp.asarray(rng.randn(batch, s, 8, 3, 4), jnp.float32).reshape(batch, s, 8, 12)
+    ).reshape(batch, s, 8, 3, 4).astype(jnp.bfloat16)
 
-    xla_op = jax.jit(lambda v, l, w: ms_deform_attn(v, shapes, l, w))
-    xla_op(value, locs, wgts)
-    timeit(xla_op, value, locs, wgts, name=f"ms_deform_attn XLA (1 layer, S={s})")
-
-    try:
+    if args.impl == "windowed_pallas":
         from betrayed_by_captions_tpu.ops.deform_attn_windowed_pallas import (
             windowed_ms_deform_attn_pallas,
         )
 
-        pl_op = jax.jit(lambda v, l, w: windowed_ms_deform_attn_pallas(v, shapes, l, w))
+        pl_op = jax.jit(
+            lambda v, l, w: windowed_ms_deform_attn_pallas(
+                v, shapes, l, w, window=args.window, variant=args.variant
+            )
+        )
         r = pl_op(value, locs, wgts)
         jax.block_until_ready(r)
-        timeit(pl_op, value, locs, wgts, name=f"ms_deform_attn Pallas (1 layer, S={s})")
-    except Exception as e:
-        print(f"Pallas kernel FAILED to compile/run: {type(e).__name__}: {str(e)[:300]}")
+        timeit(
+            pl_op, value, locs, wgts,
+            name=f"deform attn Pallas/{args.variant} (1 layer, S={s})",
+        )
+    else:
+        from betrayed_by_captions_tpu.ops.deform_attn import ms_deform_attn
 
-    # 5. eval step (forward + upsample to input res)
+        xla_op = jax.jit(lambda v, l, w: ms_deform_attn(v, shapes, l, w))
+        xla_op(value, locs, wgts)
+        timeit(xla_op, value, locs, wgts, name=f"ms_deform_attn XLA (1 layer, S={s})")
+
+    # 5. eval step without upsample (forward only, stride-4 masks)
     from betrayed_by_captions_tpu.engine.train_step import make_eval_step
 
-    eval_step = make_eval_step(model)
-    eval_step(params, images)
-    timeit(eval_step, params, images, name="eval step (forward + mask upsample)")
+    eval_step = make_eval_step(model, upsample=False)
+    ev = eval_step(params, images)
+    timeit(eval_step, params, images, name="eval step (forward, stride-4 masks)")
 
-    # 6. upsample alone
+    # 6. upsample alone (bf16 phase path, as used by the fused postproc)
     from betrayed_by_captions_tpu.ops.resize import bilinear_resize
 
-    masks_small = out["mask_preds"][-1]
+    masks_small = ev["mask_preds"].astype(jnp.bfloat16)
     up = jax.jit(lambda m: bilinear_resize(m, HW[0], HW[1]))
     up(masks_small)
-    timeit(up, masks_small, name=f"mask upsample {masks_small.shape} -> {HW}")
+    timeit(up, masks_small, name=f"mask upsample bf16 {tuple(masks_small.shape)} -> {HW}")
 
-    # 7. postproc alone
+    # 7. fused postproc (upsample + shared per-query stats + selection)
     from betrayed_by_captions_tpu.models.class_banks import asset_path, load_class_banks
-    from betrayed_by_captions_tpu.models.fusion_head import instance_postprocess_emb
+    from betrayed_by_captions_tpu.models.fusion_head import (
+        instance_postprocess_shared,
+    )
 
     banks = load_class_banks(
         asset_path("embeddings", "coco_class_with_bert_emb.json"),
@@ -145,16 +161,20 @@ def main():
         unknown_file=asset_path("splits", "unknown_17.txt"),
     )
     all_bank = jnp.asarray(banks.all_bank)
-    ev = eval_step(params, images)
 
     @jax.jit
     def postproc(emb, masks):
-        return jax.vmap(lambda e, m: instance_postprocess_emb(e, m, all_bank, 100))(
-            emb, masks
+        sel, mb = instance_postprocess_shared(
+            emb, masks, {"all": all_bank}, out_hw=HW, max_per_image=100
         )
+        r = sel["all"]
+        return r.labels, r.scores, r.boxes, r.query_idx, mb.sum(axis=(1, 2, 3))
 
     postproc(ev["cls_emb_preds"], ev["mask_preds"])
-    timeit(postproc, ev["cls_emb_preds"], ev["mask_preds"], name="instance postproc")
+    timeit(
+        postproc, ev["cls_emb_preds"], ev["mask_preds"],
+        name="fused postproc (upsample+stats+select)",
+    )
 
     if args.trace:
         with jax.profiler.trace(args.trace):

@@ -25,11 +25,23 @@ def main():
     parser.add_argument("--work-dir", default=None)
     parser.add_argument("--max-images", type=int, default=None)
     parser.add_argument("--cfg-options", nargs="+", default=[])
+    parser.add_argument(
+        "--distributed",
+        action="store_true",
+        help="force jax.distributed.initialize (multi-host launch; also "
+        "auto-detected from the TPU runtime / JAX_* env vars)",
+    )
     args = parser.parse_args()
 
     cfg = Config.fromfile(args.config)
     cfg.merge_from_options(parse_cli_options(args.cfg_options))
     cfg["metrics"] = args.eval
+
+    from betrayed_by_captions_tpu.parallel.multihost import (
+        maybe_initialize_distributed,
+    )
+
+    maybe_initialize_distributed(force=args.distributed)
 
     import jax
     import jax.numpy as jnp
