@@ -186,6 +186,7 @@ class TestJitBeamSearch:
         seq = list(np.asarray(fin_ids[best][:5]))
         assert seq == [1, 7, 9, 11, eos]
 
+    @pytest.mark.slow  # jitted fixed-shape search compile, ~60 s on CPU
     def test_matches_or_beats_host_search(self):
         """On a real tiny model, if the host loop finds any hypothesis the
         jitted full-depth search must score at least as well."""

@@ -42,6 +42,7 @@ class TestWindowedPallas:
     composition; the compiled path is validated on real TPU by
     tools/check_pallas_tpu.py."""
 
+    @pytest.mark.slow  # interpret-mode kernel, ~100 s on CPU
     def test_matches_windowed_xla(self, rng):
         from betrayed_by_captions_tpu.ops.deform_attn_windowed_pallas import (
             windowed_ms_deform_attn_pallas,
@@ -60,6 +61,8 @@ class TestWindowedPallas:
             atol=0.05,
         )
 
+    @pytest.mark.slow  # interpret-mode kernel, ~60 s per variant on CPU;
+    # test_single_level keeps the default variant on the fast path
     @pytest.mark.parametrize("variant", ["cell", "packed"])
     def test_matches_exact_op(self, rng, variant):
         from betrayed_by_captions_tpu.ops.deform_attn_windowed_pallas import (

@@ -191,6 +191,7 @@ class TestFusionHead:
         )
 
 
+@pytest.mark.slow  # full criterion graph compile, ~80 s on CPU
 class TestLearnableTemperature:
     def test_param_exists_and_flows_into_losses(self):
         """learnable_temperature exposes a trainable scalar that scales the
