@@ -23,7 +23,7 @@ import time
 
 A100_BASELINE_IPS = 19.4  # est.: mmdet Mask2Former-R50 V100 ~9.7 fps x2
 
-BATCH = 8
+BATCH = 16  # throughput-optimal on v5e-1 (27.6 img/s vs 26.0 at batch 8)
 HW = (800, 1344)
 WARMUP = 3
 ITERS = 8

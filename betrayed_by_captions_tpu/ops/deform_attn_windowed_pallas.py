@@ -358,7 +358,16 @@ def _make_level_fn(cfg):
             memory_space=pltpu.VMEM,
         )
 
-    def pack(x):  # (B, NH, HA, P, WPAD) -> (B, NH/hp, HA, hp*P, WPAD)
+    # fx/fy/at arrive ALREADY packed ((B, NH/hp, HA, hp*P, WPAD), built
+    # with a single fused transpose at the call site); the backward
+    # unpacks them for the per-pair backward kernels and repacks the
+    # gradients (training-only relayout).
+    def unpack(x):
+        x = x.reshape(b, nh // hp, ha_pad, hp, p, wpad)
+        x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+        return x.reshape(b, nh, ha_pad, p, wpad)
+
+    def repack(x):
         x = x.reshape(b, nh // hp, hp, ha_pad, p, wpad)
         x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
         return x.reshape(b, nh // hp, ha_pad, hp * p, wpad)
@@ -388,12 +397,7 @@ def _make_level_fn(cfg):
                 vmem_limit_bytes=100 * 1024 * 1024
             ),
             interpret=interpret,
-        )(
-            *preps,
-            *[pack(x) for x in fxs],
-            *[pack(x) for x in fys],
-            *[pack(x) for x in ats],
-        )
+        )(*preps, *fxs, *fys, *ats)
 
     def bwd(res, g):
         preps, fxs, fys, ats = res
@@ -406,13 +410,17 @@ def _make_level_fn(cfg):
                  phase_rows, rows_v, cols_v, interpret, "cell", 1)
             )
             _, pair_bwd = jax.vjp(
-                pair_fn, preps[li], fxs[li], fys[li], ats[li]
+                pair_fn,
+                preps[li],
+                unpack(fxs[li]),
+                unpack(fys[li]),
+                unpack(ats[li]),
             )
             dp, dfx, dfy, dat = pair_bwd(g)
             d_preps.append(dp)
-            d_fxs.append(dfx)
-            d_fys.append(dfy)
-            d_ats.append(dat)
+            d_fxs.append(repack(dfx))
+            d_fys.append(repack(dfy))
+            d_ats.append(repack(dat))
         return tuple(d_preps), tuple(d_fxs), tuple(d_fys), tuple(d_ats)
 
     @jax.custom_vjp
@@ -768,25 +776,38 @@ def _prep_value_pair(
         # (ha_pad-1) + w, columns reach w + wpad
         rows = ha_pad + w + 1
         cols = wpad + w + 1
-        prep = jnp.zeros((b, h, rows, d, cols), vimg.dtype)
-        prep = jax.lax.dynamic_update_slice(
-            prep, vimg, (0, 0, pad, 0, pad)
+        prep = jnp.pad(
+            vimg,
+            (
+                (0, 0),
+                (0, 0),
+                (pad, rows - pad - hb),
+                (0, 0),
+                (pad, cols - pad - wb),
+            ),
         )
         return prep, "same", 1, 0
 
-    if hb < ha:  # value coarser by k: upsample with repeat
+    if hb < ha:  # value coarser by k: upsample with repeat, then pad
         k = ha // hb
         assert k * hb == ha and k * wb == wa, (ha, wa, hb, wb)
         # row indices reach (ha_pad-1) + k*w - k//2; cols k*(w+1) - k//2 + wpad
-        rows_v = hb + 2 * pad
-        cols_v = wb + 2 * pad
-        vp = jnp.zeros((b, h, rows_v, d, cols_v), vimg.dtype)
-        vp = jax.lax.dynamic_update_slice(vp, vimg, (0, 0, pad, 0, pad))
-        up = jnp.repeat(jnp.repeat(vp, k, axis=2), k, axis=4)
-        rows = max(k * rows_v, ha_pad + k * w + 1)
-        cols = max(k * cols_v, wpad + k * (w + 1) + 1)
-        prep = jnp.zeros((b, h, rows, d, cols), vimg.dtype)
-        prep = jax.lax.dynamic_update_slice(prep, up, (0, 0, 0, 0, 0))
+        # (repeat-then-pad == pad-then-repeat for zero margins, and keeps
+        # XLA from materializing an intermediate padded image in an odd
+        # layout)
+        up = jnp.repeat(jnp.repeat(vimg, k, axis=2), k, axis=4)
+        rows = max(k * (hb + 2 * pad), ha_pad + k * w + 1)
+        cols = max(k * (wb + 2 * pad), wpad + k * (w + 1) + 1)
+        prep = jnp.pad(
+            up,
+            (
+                (0, 0),
+                (0, 0),
+                (k * pad, rows - k * pad - k * hb),
+                (0, 0),
+                (k * pad, cols - k * pad - k * wb),
+            ),
+        )
         return prep, "coarser", k, 0
 
     # value finer by k: k x k phase decimation
@@ -794,8 +815,20 @@ def _prep_value_pair(
     assert k * ha == hb and k * wa == wb, (ha, wa, hb, wb)
     rows_v = hb + 2 * pad
     cols_v = wb + 2 * pad
-    vp = jnp.zeros((b, h, rows_v, d, cols_v), vimg.dtype)
-    vp = jax.lax.dynamic_update_slice(vp, vimg, (0, 0, pad, 0, pad))
+    # NOTE: pad-then-decimate. Decimating the raw image with strided
+    # lax.slice first looks cheaper on paper but lane-dim striding
+    # lowers as a gather on TPU (measured 7.5 ms/layer vs ~1 ms for the
+    # padded-image route, round-3 trace).
+    vp = jnp.pad(
+        vimg,
+        (
+            (0, 0),
+            (0, 0),
+            (pad, rows_v - pad - hb),
+            (0, 0),
+            (pad, cols_v - pad - wb),
+        ),
+    )
     # phase (pr, pc): vp[pr::k, :, pc::k]; in-kernel row index reaches
     # i + (m // k) <= (ha_pad - 1) + ((k-1)//2 + w) // k + 1
     m_max = (k - 1) // 2 + w
@@ -809,12 +842,19 @@ def _prep_value_pair(
     for pr in range(k):
         for pc in range(k):
             ph = vp[:, :, pr::k, :, pc::k]
-            ph = jax.lax.dynamic_update_slice(
-                jnp.zeros((b, h, phase_rows, d, phase_cols), vimg.dtype),
-                ph[:, :, :phase_rows, :, :phase_cols],
-                (0, 0, 0, 0, 0),
+            ph = ph[:, :, :phase_rows, :, :phase_cols]
+            phases.append(
+                jnp.pad(
+                    ph,
+                    (
+                        (0, 0),
+                        (0, 0),
+                        (0, phase_rows - ph.shape[2]),
+                        (0, 0),
+                        (0, phase_cols - ph.shape[4]),
+                    ),
+                )
             )
-            phases.append(ph)
     prep = jnp.concatenate(phases, axis=2)  # (B,H,k*k*phase_rows,D,cols)
     return prep, "finer", k, phase_rows
 
@@ -881,23 +921,81 @@ def windowed_ms_deform_attn_pallas(
         ha_pad = _round_up(ha, rb)
         wpad = _round_up(wa, 128)
 
-        locs_a = sampling_locations[:, offsets[ai] : offsets[ai + 1]]
-        wgts_a = attention_weights[:, offsets[ai] : offsets[ai + 1]]
-        # (B, H, Ha, Wa, P, ...) layouts
-        locs_a = jnp.transpose(
-            locs_a.reshape(b, ha, wa, nh, nl, p, 2), (0, 3, 1, 2, 4, 5, 6)
-        )  # (B, H, Ha, Wa, L, P, 2)
-        wgts_a = jnp.transpose(
-            wgts_a.reshape(b, ha, wa, nh, nl, p), (0, 3, 1, 2, 4, 5)
-        )  # (B, H, Ha, Wa, L, P)
+        locs_seg = sampling_locations[:, offsets[ai] : offsets[ai + 1]]
+        wgts_seg = attention_weights[:, offsets[ai] : offsets[ai + 1]]
+        use_merged = variant == "merged" and nh % 2 == 0
+        if use_merged:
+            # packed layout is built with ONE transpose per tensor (the
+            # elementwise scale/clip fuses into it); the old
+            # to_lanes+pack chain materialized each weight tensor 3x and
+            # accounted for a large slice of the measured XLA-relayout
+            # time (~48% of the op in the round-3 trace)
+            hp = 2
+            grp = nh // hp
+            locs_r = locs_seg.reshape(b, ha, wa, grp, hp, nl, p, 2)
+            wgts_r = wgts_seg.reshape(b, ha, wa, grp, hp, nl, p)
+        else:
+            # (B, H, Ha, Wa, P, ...) layouts
+            locs_a = jnp.transpose(
+                locs_seg.reshape(b, ha, wa, nh, nl, p, 2),
+                (0, 3, 1, 2, 4, 5, 6),
+            )  # (B, H, Ha, Wa, L, P, 2)
+            wgts_a = jnp.transpose(
+                wgts_seg.reshape(b, ha, wa, nh, nl, p), (0, 3, 1, 2, 4, 5)
+            )  # (B, H, Ha, Wa, L, P)
 
         acc = None
         merged: List = []  # (prep, fx, fy, at, mode, k, phase_rows) per b
         for bi, (hb, wb) in enumerate(spatial_shapes):
-            px = locs_a[..., bi, :, 0].astype(jnp.float32) * wb - 0.5
-            py = locs_a[..., bi, :, 1].astype(jnp.float32) * hb - 0.5
             ax = jnp.asarray(_anchor(wa, wb, w), jnp.float32)
             ay = jnp.asarray(_anchor(ha, hb, w), jnp.float32)
+            prep, mode, k, phase_rows = _prep_value_pair(
+                vimgs[bi], ha, wa, hb, wb, w, wpad, rb, ha_pad
+            )
+            rows_v, cols_v = prep.shape[2], prep.shape[4]
+
+            if use_merged:
+                # (B, Ha, Wa, G, hp, P)
+                px = locs_r[..., bi, :, 0].astype(jnp.float32) * wb - 0.5
+                py = locs_r[..., bi, :, 1].astype(jnp.float32) * hb - 0.5
+                fx = jnp.clip(
+                    px - ax[None, None, :, None, None, None], 0, w - 1
+                )
+                fy = jnp.clip(
+                    py - ay[None, :, None, None, None, None], 0, w - 1
+                )
+                at = wgts_r[..., bi, :]
+
+                def pk(x, dt):
+                    x = jnp.transpose(x, (0, 3, 1, 4, 5, 2))
+                    # (B, G, Ha, hp, P, Wa) -> packed sublanes + lane pad
+                    x = x.reshape(b, grp, ha, hp * p, wa).astype(dt)
+                    return jnp.pad(
+                        x,
+                        (
+                            (0, 0),
+                            (0, 0),
+                            (0, ha_pad - ha),
+                            (0, 0),
+                            (0, wpad - wa),
+                        ),
+                    )
+
+                merged.append(
+                    (
+                        prep,
+                        pk(fx, jnp.float32),
+                        pk(fy, jnp.float32),
+                        pk(at, jnp.bfloat16),
+                        mode,
+                        k,
+                        phase_rows,
+                    )
+                )
+                continue
+
+            px = locs_a[..., bi, :, 0].astype(jnp.float32) * wb - 0.5
+            py = locs_a[..., bi, :, 1].astype(jnp.float32) * hb - 0.5
             fx = jnp.clip(px - ax[None, None, None, :, None], 0, w - 1)
             fy = jnp.clip(py - ay[None, None, :, None, None], 0, w - 1)
             at = wgts_a[..., bi, :]
@@ -922,15 +1020,7 @@ def windowed_ms_deform_attn_pallas(
             fy_k = to_lanes(fy, 0.0)
             at_k = to_lanes(at, 0.0).astype(jnp.bfloat16)
 
-            prep, mode, k, phase_rows = _prep_value_pair(
-                vimgs[bi], ha, wa, hb, wb, w, wpad, rb, ha_pad
-            )
-            rows_v, cols_v = prep.shape[2], prep.shape[4]
-
             hp = 2 if (variant != "cell" and nh % 2 == 0) else 1
-            if variant == "merged" and hp > 1:
-                merged.append((prep, fx_k, fy_k, at_k, mode, k, phase_rows))
-                continue
             pair_fn = _make_pair_fn(
                 (b, nh, w, rb, ha_pad, p, d, wpad, mode, k, phase_rows,
                  rows_v, cols_v, interpret,
