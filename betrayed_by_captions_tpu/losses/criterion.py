@@ -79,6 +79,13 @@ class CriterionConfig:
     gen_mask_obj_nouns: bool = False
     gen_replace_obj_nouns: bool = False
     object_token_id: int = 4874  # BERT id for 'object' (reference :575)
+    # TPU-first knob: point-sample GT masks from an exact bilinear
+    # k-times downsample instead of full resolution. 1 = reference-exact
+    # (mask2former_head.py:609-613 samples full-res GT). Full-res GT
+    # sampling is ~2.2 s/step of MXU einsums at batch-4 1024^2 (round-3
+    # trace); k=4 samples at the mask-logit stride instead (~16x less),
+    # softening loss targets only at instance boundaries.
+    gt_point_downsample: int = 1
 
 
 def _match_costs(
@@ -136,8 +143,11 @@ def _assign_layer(
 
     def per_image(key, cls_s, emb_l, mask_p, g_labels, g_masks, n):
         coords = jax.random.uniform(key, (cfg.num_points, 2))
-        mask_pts = point_sample(mask_p, coords)  # (Q, P)
-        gt_pts = point_sample(g_masks.astype(jnp.float32), coords)  # (G, P)
+        # sample in the mask dtype, cast the (Q, P)-sized results to f32
+        mask_pts = point_sample(mask_p, coords).astype(jnp.float32)
+        gt_pts = point_sample(
+            g_masks.astype(mask_p.dtype), coords
+        ).astype(jnp.float32)  # (G, P)
         cost = _match_costs(cls_s, emb_l, mask_pts, g_labels, gt_pts, cfg)
         return hungarian_assign(cost, n)  # (Q,) gt-or--1
 
@@ -187,16 +197,28 @@ def _mask_losses(
     coords = coords.reshape(b * q, cfg.num_points, 2)
 
     flat_preds = mask_preds.reshape(b * q, h, w)
-    pred_pts = point_sample(flat_preds, coords).reshape(b, q, cfg.num_points)
+    pred_pts = (
+        point_sample(flat_preds, coords)
+        .reshape(b, q, cfg.num_points)
+        .astype(jnp.float32)
+    )
 
-    # gather each query's matched GT mask and sample the same points
+    # gather each query's matched GT mask and sample the same points;
+    # sampling runs in the mask compute dtype (GT is exactly 0/1, and a
+    # full-res f32 per-query gather would be 1.7 GB/layer at batch 4)
     gt_per_query = jnp.take_along_axis(
         gt_masks, assigned[:, :, None, None], axis=1
     )  # (B, Q, H, W)
-    tgt_pts = point_sample(
-        gt_per_query.reshape(b * q, *gt_per_query.shape[2:]).astype(jnp.float32),
-        coords,
-    ).reshape(b, q, cfg.num_points)
+    tgt_pts = (
+        point_sample(
+            gt_per_query.reshape(
+                b * q, *gt_per_query.shape[2:]
+            ).astype(mask_preds.dtype),
+            coords,
+        )
+        .reshape(b, q, cfg.num_points)
+        .astype(jnp.float32)
+    )
 
     wgt = matched.astype(jnp.float32)  # (B, Q)
     dice = naive_dice_loss(
@@ -283,12 +305,25 @@ def compute_losses(
 
     cls_scores = outputs["cls_scores"].astype(jnp.float32)
     cls_emb_preds = outputs["cls_emb_preds"].astype(jnp.float32)
-    mask_preds = outputs["mask_preds"].astype(jnp.float32)
+    # mask_preds stay in the model's compute dtype: upcasting the
+    # (L, B, Q, h, w) deep-supervision stack to f32 doubles it to ~10 GB
+    # at batch-4 1024^2 training; loss math casts AFTER point sampling
+    mask_preds = outputs["mask_preds"]
     num_layers = cls_scores.shape[0]
 
     gt_labels = batch["gt_labels"]
     gt_masks = batch["gt_masks"]
     num_gts = batch["num_gts"]
+    if cfg.gt_point_downsample > 1:
+        from ..ops.resize import bilinear_resize
+
+        k = cfg.gt_point_downsample
+        bsz, g, gh, gw = gt_masks.shape
+        # one exact bilinear downsample per step; all point sampling then
+        # reads the small copy at the same normalized coords
+        gt_masks = bilinear_resize(
+            gt_masks.astype(mask_preds.dtype), gh // k, gw // k
+        )
 
     b_local = gt_labels.shape[0]
     offset = (

@@ -45,6 +45,8 @@ class Mask2FormerOpen(nn.Module):
     softmax_temperature_init: float = 10.0
     attn_impl: str = "exact"
     deform_window: int = 8
+    # rematerialize encoder layers in training backward (see pixel_decoder)
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -63,6 +65,7 @@ class Mask2FormerOpen(nn.Module):
             softmax_temperature_init=self.softmax_temperature_init,
             attn_impl=self.attn_impl,
             deform_window=self.deform_window,
+            remat=self.remat,
             dtype=self.dtype,
             name="head",
         )

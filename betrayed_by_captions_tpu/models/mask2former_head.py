@@ -57,6 +57,7 @@ class Mask2FormerHeadOpen(nn.Module):
     softmax_temperature_init: float = 10.0
     attn_impl: str = "exact"
     deform_window: int = 8
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -73,6 +74,7 @@ class Mask2FormerHeadOpen(nn.Module):
             out_channels=self.out_channels,
             attn_impl=self.attn_impl,
             window=self.deform_window,
+            remat=self.remat,
             dtype=self.dtype,
             name="pixel_decoder",
         )
@@ -124,9 +126,12 @@ class Mask2FormerHeadOpen(nn.Module):
                     cls_emb_pred, axis=-1, keepdims=True
                 )
         mask_embed = self.mask_embed(decoder_out)  # (B, Q, C)
+        # mask logits stay in the compute dtype: the 10-layer stacked
+        # deep-supervision outputs at f32 are ~10 GB for batch-4 1024^2
+        # training; consumers cast AFTER slicing/sampling
         mask_pred = jnp.einsum(
             "bqc,bhwc->bqhw", mask_embed, mask_features
-        ).astype(jnp.float32)
+        ).astype(self.dtype)
 
         # next layer's attention mask at the target level resolution
         attn_logits = bilinear_resize(mask_pred, target_hw[0], target_hw[1])
@@ -145,7 +150,7 @@ class Mask2FormerHeadOpen(nn.Module):
         Returns dict of stacked per-layer outputs:
             cls_scores (L+1, B, Q, num_classes+1) fp32
             cls_emb_preds (L+1, B, Q, emb_dim) fp32
-            mask_preds (L+1, B, Q, H4, W4) fp32
+            mask_preds (L+1, B, Q, H4, W4) compute dtype (bf16 on TPU)
         """
         b = feats[0].shape[0]
         mask_features, memories = self.pixel_decoder(feats)

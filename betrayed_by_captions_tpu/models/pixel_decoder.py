@@ -33,6 +33,11 @@ Dtype = Any
 
 
 class EncoderLayer(nn.Module):
+    """One deformable encoder layer. ``spatial_shapes`` is a static
+    module field (tuple of (h, w)) so the layer's ``__call__`` takes only
+    arrays — required for ``nn.remat`` wrapping."""
+
+    spatial_shapes: Tuple[Tuple[int, int], ...]
     embed_dim: int = 256
     num_heads: int = 8
     num_levels: int = 3
@@ -43,7 +48,7 @@ class EncoderLayer(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, tokens, pos, reference_points, spatial_shapes):
+    def __call__(self, tokens, pos, reference_points):
         attn_out = MSDeformAttention(
             embed_dim=self.embed_dim,
             num_heads=self.num_heads,
@@ -53,7 +58,7 @@ class EncoderLayer(nn.Module):
             window=self.window,
             dtype=self.dtype,
             name="attn",
-        )(tokens + pos, tokens, reference_points, spatial_shapes)
+        )(tokens + pos, tokens, reference_points, self.spatial_shapes)
         tokens = LayerNormF32(name="norm1")(tokens + attn_out)
         tokens = FFN(self.ffn_dim, self.embed_dim, dtype=self.dtype, name="ffn")(tokens)
         tokens = LayerNormF32(name="norm2")(tokens)
@@ -70,6 +75,11 @@ class MSDeformAttnPixelDecoder(nn.Module):
     ffn_dim: int = 1024
     attn_impl: str = "exact"
     window: int = 8
+    # rematerialize encoder layers in the backward pass (jax.checkpoint):
+    # trades ~1 extra forward of each layer for not storing its
+    # activations — the 6-layer encoder over ~21.5k tokens dominates
+    # training HBM (batch-8 1024^2 training OOMs without it)
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -106,8 +116,10 @@ class MSDeformAttnPixelDecoder(nn.Module):
 
         reference_points = jnp.asarray(make_reference_points(spatial_shapes))
 
+        layer_cls = nn.remat(EncoderLayer) if self.remat else EncoderLayer
         for li in range(self.num_encoder_layers):
-            tokens = EncoderLayer(
+            tokens = layer_cls(
+                spatial_shapes=tuple(tuple(s) for s in spatial_shapes),
                 embed_dim=c,
                 num_heads=self.num_heads,
                 num_levels=self.num_encoder_levels,
@@ -117,7 +129,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
                 window=self.window,
                 dtype=self.dtype,
                 name=f"encoder_layer{li}",
-            )(tokens, pos, reference_points, spatial_shapes)
+            )(tokens, pos, reference_points)
 
         # split back to per-level maps (low->high resolution)
         memories = []

@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .common import FrozenBatchNorm
@@ -80,23 +81,75 @@ class Bottleneck(nn.Module):
         return nn.relu(y + identity)
 
 
+class StemConv(nn.Module):
+    """The 7x7/2 stem conv, optionally run space-to-depth.
+
+    With ``space_to_depth`` (default), the conv is computed as an EXACTLY
+    equivalent 4x4/1 conv over a 2x2-packed input (the MLPerf-style
+    trick): 3-channel convs starve the MXU, and the direct stem plus its
+    input-relayout copy was ~31% of backbone time (round-3 trace). The
+    parameter keeps the torch (7, 7, 3, 64) HWIO shape at the same tree
+    path (``stem_conv/kernel``), so checkpoint porting is unchanged; the
+    packed kernel is a trace-time rearrangement of the same weights
+    (output kx = 2a + dy - 1 index mapping — derived in
+    tests/test_models.py::TestResNet::test_s2d_stem_exact).
+    """
+
+    space_to_depth: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (7, 7, 3, 64),
+            jnp.float32,
+        )
+        n, hh, ww, _ = x.shape
+        dn = ("NHWC", "HWIO", "NHWC")
+        if not (self.space_to_depth and hh % 2 == 0 and ww % 2 == 0):
+            return jax.lax.conv_general_dilated(
+                x,
+                w.astype(self.dtype),
+                (2, 2),
+                [(3, 3), (3, 3)],
+                dimension_numbers=dn,
+            )
+        # pack 2x2 pixels into channels: (N, H/2, W/2, (dy, dx, c))
+        xp = x.reshape(n, hh // 2, 2, ww // 2, 2, 3)
+        xp = jnp.transpose(xp, (0, 1, 3, 2, 4, 5)).reshape(
+            n, hh // 2, ww // 2, 12
+        )
+        # W4[a, b, (dy, dx, c), o] = W[2a + dy - 1, 2b + dx - 1, c, o]
+        # (out-of-range taps are zero: pad one leading row/col)
+        wp = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        w4 = jnp.transpose(
+            wp.reshape(4, 2, 4, 2, 3, 64), (0, 2, 1, 3, 4, 5)
+        ).reshape(4, 4, 12, 64)
+        return jax.lax.conv_general_dilated(
+            xp,
+            w4.astype(self.dtype),
+            (1, 1),
+            [(2, 1), (2, 1)],
+            dimension_numbers=dn,
+        )
+
+
 class ResNet(nn.Module):
     """ResNet-50/101 returning the four stage outputs (C2..C5, NHWC)."""
 
     depth: int = 50
     out_indices: Sequence[int] = (0, 1, 2, 3)
+    space_to_depth_stem: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
         blocks = _STAGE_BLOCKS[self.depth]
         x = x.astype(self.dtype)
-        x = nn.Conv(
-            64,
-            (7, 7),
-            strides=(2, 2),
-            padding=[(3, 3), (3, 3)],
-            use_bias=False,
+        x = StemConv(
+            space_to_depth=self.space_to_depth_stem,
             dtype=self.dtype,
             name="stem_conv",
         )(x)

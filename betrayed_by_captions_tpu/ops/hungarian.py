@@ -106,17 +106,22 @@ def hungarian_assign(cost: jnp.ndarray, num_valid: jnp.ndarray) -> jnp.ndarray:
     v = jnp.zeros((num_cols + 1,), jnp.float32)
     p = jnp.zeros((num_cols + 1,), jnp.int32)
 
-    def body(idx, carry):
-        u_, v_, p_ = carry
-        i = jnp.int32(idx + 1)
-        return jax.lax.cond(
-            i <= num_valid,
-            lambda c: _augment_row(i, cost, *c),
-            lambda c: c,
-            (u_, v_, p_),
-        )
+    # while (not fori + cond) over rows: under vmap a cond lowers to
+    # select and runs BOTH branches, so a fori over all R=100 padded row
+    # slots paid the full augmenting path per slot; the while stops at
+    # the batch's max num_valid (typically ~15 of 100 on COCO) — ~6x
+    # fewer sequential augmentations (this loop was ~1 s of the round-3
+    # train step)
+    def cond(state):
+        i, _, _, _ = state
+        return i <= jnp.minimum(num_valid, num_rows)
 
-    _, _, p = jax.lax.fori_loop(0, num_rows, body, (u, v, p))
+    def body(state):
+        i, u_, v_, p_ = state
+        u_, v_, p_ = _augment_row(i.astype(jnp.int32), cost, u_, v_, p_)
+        return i + 1, u_, v_, p_
+
+    _, _, _, p = jax.lax.while_loop(cond, body, (jnp.int32(1), u, v, p))
     return p[1:] - 1  # (C,) row index per column, -1 if unmatched
 
 

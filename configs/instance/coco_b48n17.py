@@ -27,6 +27,9 @@ model = dict(
     # kernels with custom-VJP backward (25x the exact gather op's grads)
     deform_window=6,
     attn_impl="windowed_pallas",
+    # rematerialize encoder layers in the backward pass: the 6-layer
+    # deformable encoder's activations dominate training HBM at 1024^2
+    remat=True,
 )
 
 criterion = dict(
@@ -45,6 +48,9 @@ criterion = dict(
     use_class_emb=True,
     use_caption=True,
     use_caption_generation=True,
+    # TPU-first: sample GT point targets at the mask-logit stride
+    # (full-res GT sampling costs ~2.2 s/step; see CriterionConfig)
+    gt_point_downsample=4,
 )
 
 optimizer = dict(

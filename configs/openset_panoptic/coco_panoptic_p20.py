@@ -22,6 +22,7 @@ model = dict(
     # fused Pallas kernels with custom-VJP backward
     deform_window=6,
     attn_impl="windowed_pallas",
+    remat=True,  # see coco_b48n17.py
 )
 
 criterion = dict(
@@ -38,6 +39,9 @@ criterion = dict(
     use_class_emb=True,
     use_caption=True,
     use_caption_generation=True,
+    # TPU-first: sample GT point targets at the mask-logit stride
+    # (full-res GT sampling costs ~2.2 s/step; see CriterionConfig)
+    gt_point_downsample=4,
 )
 
 optimizer = dict(

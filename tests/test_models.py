@@ -29,6 +29,23 @@ class TestResNet:
             (1, 2, 2, 2048),
         ]
 
+    def test_s2d_stem_exact(self, rng):
+        """The space-to-depth stem must reproduce the direct 7x7/2 conv
+        exactly (same params, same outputs) — it is a weight
+        rearrangement, not an approximation."""
+        from betrayed_by_captions_tpu.models.resnet import StemConv
+
+        x = jnp.asarray(rng.randn(2, 32, 40, 3).astype(np.float32))
+        direct = StemConv(space_to_depth=False)
+        packed = StemConv(space_to_depth=True)
+        params = direct.init(jax.random.PRNGKey(0), x)
+        a = direct.apply(params, x)
+        b = packed.apply(params, x)  # same param tree
+        assert a.shape == b.shape == (2, 16, 20, 64)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+        )
+
 
 class TestDetector:
     @pytest.fixture(scope="class")

@@ -33,6 +33,12 @@ def main():
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--hw", type=int, nargs=2, default=(1024, 1024))
     ap.add_argument("--impl", default="windowed_pallas")
+    ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument(
+        "--gt-downsample", type=int, default=4,
+        help="CriterionConfig.gt_point_downsample (flagship configs use 4; "
+        "1 = reference-exact full-res GT point sampling)",
+    )
     args = ap.parse_args()
 
     from betrayed_by_captions_tpu.engine.optim import (
@@ -70,6 +76,7 @@ def main():
         use_caption_generation=True,
         attn_impl=args.impl,
         deform_window=6,
+        remat=not args.no_remat,
         dtype=jnp.bfloat16,
     )
     rng = np.random.RandomState(0)
@@ -78,8 +85,10 @@ def main():
         "gt_labels": jnp.asarray(
             rng.randint(0, banks.num_base, (b, max_inst)), jnp.int32
         ),
+        # uint8 like the real loader (data/transforms.py): full-res GT
+        # masks at f32 would add 3.4 GB to the batch-8 training footprint
         "gt_masks": jnp.asarray(
-            (rng.rand(b, max_inst, *hw) > 0.9), jnp.float32
+            (rng.rand(b, max_inst, *hw) > 0.9), jnp.uint8
         ),
         "num_gts": jnp.full((b,), 15, jnp.int32),
         "caption_ids": jnp.asarray(
@@ -100,7 +109,10 @@ def main():
     state = create_train_state(params, tx)
     step = make_train_step(
         model,
-        CriterionConfig(num_classes=banks.num_base),
+        CriterionConfig(
+            num_classes=banks.num_base,
+            gt_point_downsample=args.gt_downsample,
+        ),
         jnp.asarray(banks.base_bank),
         bert,
     )
