@@ -14,6 +14,15 @@ retraining. Layout changes handled:
 
 Entry points: ``convert_reference_state_dict`` (full detector),
 ``convert_torchvision_resnet`` (backbone only).
+
+IMPORTANT — parity checks against ported reference checkpoints must run
+the model with ``attn_impl="exact"`` and ``deform_window=None``: mmcv's
+MultiScaleDeformableAttention never clamps sampling offsets (its learned
+offsets routinely exceed 2 cells; the compass init alone reaches 4), so
+any windowed/clamped configuration samples differently from the
+reference and cannot reproduce its outputs. The windowed TPU configs are
+a self-consistent train/eval semantic for models trained HERE, not an
+evaluation mode for reference weights. See models/deformable.py.
 """
 
 from __future__ import annotations

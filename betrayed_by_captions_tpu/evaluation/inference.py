@@ -186,7 +186,11 @@ def jit_beam_search_from_logits(
             lp = logits_at(ids, memory_w, t)  # (W, V)
             vocab = lp.shape[-1]
             cand = jnp.where(alive[:, None], logp[:, None] + lp, neg_inf)
-            norm = cand / (t + 1) ** alpha
+            # candidate sequences span positions [0, t+1] -> length t+2;
+            # normalizing by the true length matches the host/reference
+            # rule (cand_weight / len(seq)**alpha) so finished hypotheses
+            # recorded at different depths rank consistently
+            norm = cand / (t + 2) ** alpha
             sel_scores, sel_flat = jax.lax.top_k(norm.reshape(-1), w)
             rows = sel_flat // vocab
             cols = sel_flat % vocab

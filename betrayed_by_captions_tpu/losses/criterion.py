@@ -86,6 +86,16 @@ class CriterionConfig:
     # trace); k=4 samples at the mask-logit stride instead (~16x less),
     # softening loss targets only at instance boundaries.
     gt_point_downsample: int = 1
+    # parity knob: run point sampling of mask logits / GT targets in f32
+    # instead of the model compute dtype (bf16). The bf16 path quantizes
+    # matching costs and boundary targets slightly relative to the
+    # reference's f32 math; set True for reference-parity
+    # training/verification runs to eliminate that variable.
+    point_sample_f32: bool = False
+
+    @property
+    def sample_dtype(self):
+        return jnp.float32 if self.point_sample_f32 else None
 
 
 def _match_costs(
@@ -143,10 +153,12 @@ def _assign_layer(
 
     def per_image(key, cls_s, emb_l, mask_p, g_labels, g_masks, n):
         coords = jax.random.uniform(key, (cfg.num_points, 2))
-        # sample in the mask dtype, cast the (Q, P)-sized results to f32
-        mask_pts = point_sample(mask_p, coords).astype(jnp.float32)
+        # sample in the mask dtype (or f32 with point_sample_f32), cast
+        # the (Q, P)-sized results to f32
+        dt = cfg.sample_dtype or mask_p.dtype
+        mask_pts = point_sample(mask_p.astype(dt), coords).astype(jnp.float32)
         gt_pts = point_sample(
-            g_masks.astype(mask_p.dtype), coords
+            g_masks.astype(dt), coords
         ).astype(jnp.float32)  # (G, P)
         cost = _match_costs(cls_s, emb_l, mask_pts, g_labels, gt_pts, cfg)
         return hungarian_assign(cost, n)  # (Q,) gt-or--1
@@ -196,7 +208,8 @@ def _mask_losses(
     )(keys, mask_preds)  # (B, Q, P, 2)
     coords = coords.reshape(b * q, cfg.num_points, 2)
 
-    flat_preds = mask_preds.reshape(b * q, h, w)
+    dt = cfg.sample_dtype or mask_preds.dtype
+    flat_preds = mask_preds.reshape(b * q, h, w).astype(dt)
     pred_pts = (
         point_sample(flat_preds, coords)
         .reshape(b, q, cfg.num_points)
@@ -206,6 +219,7 @@ def _mask_losses(
     # gather each query's matched GT mask and sample the same points;
     # sampling runs in the mask compute dtype (GT is exactly 0/1, and a
     # full-res f32 per-query gather would be 1.7 GB/layer at batch 4)
+    # unless point_sample_f32 requests reference-parity f32 math
     gt_per_query = jnp.take_along_axis(
         gt_masks, assigned[:, :, None, None], axis=1
     )  # (B, Q, H, W)
@@ -213,7 +227,7 @@ def _mask_losses(
         point_sample(
             gt_per_query.reshape(
                 b * q, *gt_per_query.shape[2:]
-            ).astype(mask_preds.dtype),
+            ).astype(dt),
             coords,
         )
         .reshape(b, q, cfg.num_points)
@@ -322,7 +336,9 @@ def compute_losses(
         # one exact bilinear downsample per step; all point sampling then
         # reads the small copy at the same normalized coords
         gt_masks = bilinear_resize(
-            gt_masks.astype(mask_preds.dtype), gh // k, gw // k
+            gt_masks.astype(cfg.sample_dtype or mask_preds.dtype),
+            gh // k,
+            gw // k,
         )
 
     b_local = gt_labels.shape[0]

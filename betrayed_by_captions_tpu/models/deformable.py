@@ -7,20 +7,29 @@ embed 256, 8 heads, 3 levels, 4 points). The sampling core is selected by
 
 - ``"exact"`` — the XLA gather composition (:func:`..ops.ms_deform_attn`).
   Reference CUDA semantics bit-for-fp-bit; differentiable; slow on TPU
-  (gathers). Used for training and checkpoint-parity cross-checks.
+  (gathers). Used for checkpoint-parity cross-checks.
 - ``"windowed"`` — the gather-free dense window composition
   (:mod:`..ops.deform_attn_windowed`), pure XLA. Test/reference impl.
 - ``"windowed_pallas"`` — the fused Pallas TPU kernel
-  (:mod:`..ops.deform_attn_windowed_pallas`). ~7x faster than "exact" on
-  v5e; forward-only (inference / bench).
+  (:mod:`..ops.deform_attn_windowed_pallas`), differentiable via custom
+  VJP (two backward kernels; see that module). This is the production
+  path for BOTH training and inference on TPU (~7x faster forward,
+  ~25x faster fwd+bwd than "exact" on v5e).
 
-TPU-first semantic choice: sampling offsets are CLAMPED to
-``window/2 - 1`` cells of each target level (``offset_clamp``), making
-every impl numerically identical (windowed sampling never leaves its
-window) and train (exact) / eval (pallas) consistent. The mmcv compass
-init ladder (radii 1..4 cells) is rescaled so the outermost point starts
-at the clamp boundary (radii 0.75/1.5/2.25/3 at the default window of 8)
-instead of collapsing multiple points onto it.
+Windowing semantic (``window``):
+
+- ``window=<int>`` (TPU-first default, 8): sampling offsets are CLAMPED
+  to ``window/2 - 1`` cells of each target level, making every impl
+  numerically identical (windowed sampling never leaves its window) and
+  train/eval consistent. The mmcv compass init ladder (radii 1..4 cells)
+  is rescaled so the outermost point starts at the clamp boundary
+  (radii 0.75/1.5/2.25/3 at window 8) instead of collapsing multiple
+  points onto it.
+- ``window=None`` (reference-faithful): NO clamp, compass init radii
+  1..4 exactly as mmcv MultiScaleDeformableAttention (which never clamps
+  — learned offsets routinely exceed 2 cells). Requires
+  ``attn_impl="exact"``; this is the mode checkpoint-parity checks and
+  reference-checkpoint evaluation must use (engine/porting.py).
 
 Initialization otherwise mirrors the reference semantics (sampling
 offsets start as a scaled 8-direction compass grid, attention weights
@@ -92,7 +101,7 @@ class MSDeformAttention(nn.Module):
     num_levels: int = 3
     num_points: int = 4
     attn_impl: str = "exact"  # exact | windowed | windowed_pallas
-    window: int = 8
+    window: int | None = 8  # None = reference-faithful unclamped (exact only)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -110,13 +119,17 @@ class MSDeformAttention(nn.Module):
         v = nn.Dense(self.embed_dim, dtype=self.dtype, name="value_proj")(value)
         v = v.reshape(b, s, nh, head_dim)
 
+        if self.window is None and self.attn_impl != "exact":
+            raise ValueError(
+                "window=None (unclamped reference semantics) requires "
+                f"attn_impl='exact'; got {self.attn_impl!r}"
+            )
+        max_offset = None if self.window is None else self.window / 2 - 1
         offsets = nn.Dense(
             nh * nl * npts * 2,
             dtype=self.dtype,
             kernel_init=nn.initializers.zeros,
-            bias_init=_compass_offset_init(
-                nh, nl, npts, max_offset=self.window / 2 - 1
-            ),
+            bias_init=_compass_offset_init(nh, nl, npts, max_offset=max_offset),
             name="sampling_offsets",
         )(query).reshape(b, s, nh, nl, npts, 2)
 
@@ -130,10 +143,12 @@ class MSDeformAttention(nn.Module):
         attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
         attn = attn.reshape(b, s, nh, nl, npts)
 
-        # clamp offsets into the sampling window (see module docstring):
-        # keeps every impl numerically identical
-        clamp = self.window / 2 - 1
-        offsets = jnp.clip(offsets.astype(jnp.float32), -clamp, clamp)
+        # clamp offsets into the sampling window (see module docstring);
+        # window=None keeps the reference's unclamped semantics
+        offsets = offsets.astype(jnp.float32)
+        if self.window is not None:
+            clamp = self.window / 2 - 1
+            offsets = jnp.clip(offsets, -clamp, clamp)
 
         # normalize offsets by each sampling level's (w, h)
         normalizer = jnp.asarray(

@@ -44,7 +44,7 @@ class EncoderLayer(nn.Module):
     num_points: int = 4
     ffn_dim: int = 1024
     attn_impl: str = "exact"
-    window: int = 8
+    window: int | None = 8
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -74,7 +74,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
     num_points: int = 4
     ffn_dim: int = 1024
     attn_impl: str = "exact"
-    window: int = 8
+    window: int | None = 8
     # rematerialize encoder layers in the backward pass (jax.checkpoint):
     # trades ~1 extra forward of each layer for not storing its
     # activations — the 6-layer encoder over ~21.5k tokens dominates

@@ -48,9 +48,12 @@ criterion = dict(
     use_class_emb=True,
     use_caption=True,
     use_caption_generation=True,
-    # TPU-first: sample GT point targets at the mask-logit stride
-    # (full-res GT sampling costs ~2.2 s/step; see CriterionConfig)
-    gt_point_downsample=4,
+    # reference-exact full-res GT point sampling (mask2former_head.py:
+    # 609-613). Opt-in speed knob: gt_point_downsample=4 samples GT at
+    # the mask-logit stride (~2.2 s/step cheaper at batch-4 1024^2) but
+    # softens targets at instance boundaries and can drop 1-2px-thin
+    # structures; keep 1 until an accuracy A/B shows k=4 is neutral.
+    gt_point_downsample=1,
 )
 
 optimizer = dict(

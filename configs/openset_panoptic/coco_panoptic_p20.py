@@ -39,9 +39,9 @@ criterion = dict(
     use_class_emb=True,
     use_caption=True,
     use_caption_generation=True,
-    # TPU-first: sample GT point targets at the mask-logit stride
-    # (full-res GT sampling costs ~2.2 s/step; see CriterionConfig)
-    gt_point_downsample=4,
+    # reference-exact full-res GT point sampling; gt_point_downsample=4
+    # is the documented speed opt-in (see configs/instance/coco_b48n17.py)
+    gt_point_downsample=1,
 )
 
 optimizer = dict(

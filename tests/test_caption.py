@@ -243,6 +243,123 @@ class TestJitBeamSearch:
         assert jit_fn._cache_size() == 1
 
 
+class TestBeamReferenceStoppingParity:
+    """Parity guard vs the REFERENCE beam-search stopping rule (VERDICT
+    round-1 item 10; reference open_set/utils/eval/inference.py:84-159):
+    the reference stops collecting once `beam_width` hypotheses finish,
+    while the jitted search runs full depth and keeps the best finished.
+    On deterministic Markov scorers the jit top-1 must score >= the
+    reference top-1 (superset of hypotheses), and in practice match it
+    exactly. This test also caught a real off-by-one in the jit length
+    normalization ((t+1)^alpha for a length-(t+2) candidate)."""
+
+    V, BOS, EOS, W, T, ALPHA = 12, 1, 2, 3, 10, 0.7
+
+    def _table(self, seed):
+        rs = np.random.RandomState(seed)
+        logits = rs.randn(self.V, self.V) * 2.0
+        logits[:, self.EOS] += 1.0  # bias toward finishing
+        return (
+            logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+        ).astype(np.float32)
+
+    def _reference_beam(self, table):
+        """The reference algorithm verbatim-in-spirit: candidate weights,
+        early stop at W finished, normalize by len(seq)**alpha."""
+        width, max_len, alpha = self.W, self.T, self.ALPHA
+        bos, eos = self.BOS, self.EOS
+        logp0 = table[bos]
+        top = np.argsort(-logp0)[:width]
+        sequences = [[bos, int(t)] for t in top]
+        weights = [float(logp0[t]) for t in top]
+        finished = []
+        while sequences:
+            t = len(sequences[0])
+            lp = np.stack([table[s[-1]] for s in sequences])
+            cumulative = lp + np.asarray(weights)[:, None]
+            normalized = cumulative / (t + 1) ** alpha
+            top = np.argsort(-normalized.reshape(-1))[:width]
+            new_sequences, new_weights = [], []
+            stop = False
+            for pos in top:
+                row, col = int(pos // self.V), int(pos % self.V)
+                seq = sequences[row] + [col]
+                cand_weight = float(cumulative[row, col])
+                if col == eos:
+                    finished.append((seq, cand_weight / len(seq) ** alpha))
+                    if len(finished) >= width:
+                        stop = True
+                        break
+                elif len(seq) < max_len - 1:
+                    new_sequences.append(seq)
+                    new_weights.append(cand_weight)
+            if stop or not new_sequences:
+                break
+            sequences, weights = new_sequences, new_weights
+        finished.sort(key=lambda x: -x[1])
+        return finished
+
+    def _jit_from_table(self, table):
+        import jax
+
+        from betrayed_by_captions_tpu.evaluation.inference import (
+            jit_beam_search_from_logits,
+        )
+
+        tab = jnp.asarray(table)
+
+        def logits_at(ids, memory_w, pos):
+            last = jax.lax.dynamic_slice_in_dim(ids, pos, 1, axis=1)[:, 0]
+            return jnp.take(tab, last, axis=0)
+
+        return jit_beam_search_from_logits(
+            logits_at, beam_width=self.W, max_len=self.T,
+            alpha=self.ALPHA, bos=self.BOS, eos=self.EOS,
+        )
+
+    def test_top1_score_parity(self):
+        agree_seq, total = 0, 0
+        for seed in range(12):
+            table = self._table(seed)
+            ref = self._reference_beam(table)
+            fin_ids, fin_scores = self._jit_from_table(table)(
+                jnp.zeros((1, 2, 4))
+            )
+            fin_scores = np.asarray(fin_scores)
+            best = int(fin_scores.argmax())
+            jit_found = float(fin_scores[best]) > -1e20
+            if not ref:
+                # both searches must agree that nothing finishes
+                assert not jit_found, seed
+                continue
+            assert jit_found, seed
+            ref_seq, ref_score = ref[0]
+            # full-depth search keeps a superset of hypotheses: >= always,
+            # == in practice (Markov scorers admit no late improvements
+            # under consistent length normalization)
+            assert fin_scores[best] >= ref_score - 1e-4, seed
+            np.testing.assert_allclose(
+                fin_scores[best], ref_score, atol=1e-4,
+                err_msg=f"seed {seed}",
+            )
+            jit_seq = [self.BOS]
+            for tok in np.asarray(fin_ids[best])[1:]:
+                jit_seq.append(int(tok))
+                if tok == self.EOS:
+                    break
+            # sequence comparison is only meaningful when the reference
+            # top-1 finished at its FIRST EOS (the first-step expansion
+            # admits EOS as an ordinary token in both searches, and the
+            # truncating decode then cuts equal-scored hypotheses
+            # differently)
+            if self.EOS not in ref_seq[1:-1]:
+                total += 1
+                agree_seq += jit_seq == ref_seq
+        assert total >= 3, "scorers too EOS-shy; raise the bias"
+        # clean sequences may differ only on exact score ties
+        assert agree_seq >= total - 1, (agree_seq, total)
+
+
 class TestCaptionEvalProtocol:
     def test_cap_results_through_dataset_evaluate(self, tmp_path):
         """eval_type 'cap_results' routes generated sentences through the

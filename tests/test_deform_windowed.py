@@ -145,6 +145,129 @@ class TestWindowedPallas:
             )
 
 
+class TestMergedVariantFast:
+    def test_multi_level_merged_interpret(self, rng):
+        """Fast-path coverage for the default 'merged' variant's
+        level-merge/repack logic (tiny shapes, interpret mode); the full
+        sizes run under the slow marker / on-TPU tool."""
+        from betrayed_by_captions_tpu.ops.deform_attn_windowed_pallas import (
+            windowed_ms_deform_attn_pallas,
+        )
+
+        shapes = [(2, 3), (4, 6)]
+        value, locs, wgts = build_inputs(rng, shapes, max_offset_cells=1.5, b=1)
+        want = windowed_ms_deform_attn(value, shapes, locs, wgts, window=4)
+        got = windowed_ms_deform_attn_pallas(
+            value, shapes, locs, wgts, window=4, interpret=True,
+            variant="merged",
+        )
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32),
+            np.asarray(want, np.float32),
+            rtol=0.05,
+            atol=0.05,
+        )
+
+
+class TestModuleWindowSemantics:
+    """MSDeformAttention's window/clamp contract (models/deformable.py):
+    window=None must be reference-faithful — NO offset clamp, mmcv compass
+    init radii 1..4 — so ported reference checkpoints sample exactly as
+    mmcv's MultiScaleDeformableAttention (which never clamps)."""
+
+    def _apply(self, window, attn_impl, offset_bias_cells, rng):
+        from betrayed_by_captions_tpu.models.deformable import MSDeformAttention
+
+        shapes = [(8, 12)]
+        s = sum(h * w for h, w in shapes)
+        b = 1
+        mod = MSDeformAttention(
+            embed_dim=16, num_heads=2, num_levels=1, num_points=P,
+            attn_impl=attn_impl, window=window,
+        )
+        query = jnp.asarray(rng.randn(b, s, 16).astype(np.float32))
+        value = jnp.asarray(rng.randn(b, s, 16).astype(np.float32))
+        ref = jnp.asarray(make_reference_points(shapes))
+        params = mod.init(jax.random.PRNGKey(0), query, value, ref, shapes)
+        # force every sampling offset to a constant (cells); with
+        # zero-init kernels the Dense output equals its bias
+        bias = np.full(
+            params["params"]["sampling_offsets"]["bias"].shape,
+            offset_bias_cells, np.float32,
+        )
+        params["params"]["sampling_offsets"]["bias"] = jnp.asarray(bias)
+        out = mod.apply(params, query, value, ref, shapes)
+        return out, params, (query, value, ref, shapes)
+
+    def test_window_none_is_unclamped(self, rng):
+        """With a 5-cell offset (beyond window-8's clamp of 3), the
+        unclamped module must reproduce the raw gather math at 5 cells,
+        and differ from the clamped module."""
+        off = 5.0
+        out_none, params, (query, value, ref, shapes) = self._apply(
+            None, "exact", off, rng
+        )
+        out_clamped, _, _ = self._apply(8, "exact", off, rng)
+
+        # manual unclamped computation through the same projections
+        p = params["params"]
+        v = value @ p["value_proj"]["kernel"] + p["value_proj"]["bias"]
+        v = v.reshape(1, -1, 2, 8)
+        normalizer = np.array([[w, h] for (h, w) in shapes], np.float32)
+        locs = ref[None, :, None, None, None, :] + np.full(
+            (1, ref.shape[0], 2, 1, P, 2), off, np.float32
+        ) / normalizer[None, None, None, :, None, :]
+        attn_logits = query @ p["attention_weights"]["kernel"] + (
+            p["attention_weights"]["bias"]
+        )
+        attn = jax.nn.softmax(
+            attn_logits.reshape(1, -1, 2, 1 * P), axis=-1
+        ).reshape(1, -1, 2, 1, P)
+        want = ms_deform_attn(v, shapes, jnp.asarray(locs), attn)
+        want = want @ p["output_proj"]["kernel"] + p["output_proj"]["bias"]
+        np.testing.assert_allclose(
+            np.asarray(out_none), np.asarray(want), rtol=1e-4, atol=1e-4
+        )
+        assert np.abs(np.asarray(out_none) - np.asarray(out_clamped)).max() > 1e-3
+
+    def test_window_none_requires_exact(self, rng):
+        with pytest.raises(ValueError, match="window=None"):
+            self._apply(None, "windowed_pallas", 0.0, rng)
+
+    def test_compass_init_radii(self):
+        """window=None bias init must be the exact mmcv ladder: per-head
+        unit compass direction scaled by point index+1 (radii 1..4)."""
+        from betrayed_by_captions_tpu.models.deformable import (
+            _compass_offset_init,
+        )
+
+        init = _compass_offset_init(8, 3, 4, max_offset=None)
+        bias = np.asarray(
+            init(None, (8 * 3 * 4 * 2,))
+        ).reshape(8, 3, 4, 2)
+        # mmcv: thetas = 2*pi*h/8; grid normalized by max-abs; scaled by i+1
+        thetas = np.arange(8) * (2 * np.pi / 8)
+        grid = np.stack([np.cos(thetas), np.sin(thetas)], -1)
+        grid = grid / np.abs(grid).max(-1, keepdims=True)
+        want = np.tile(grid[:, None, None, :], (1, 3, 4, 1)) * np.arange(
+            1, 5
+        )[None, None, :, None]
+        np.testing.assert_allclose(bias, want.astype(np.float32), atol=1e-6)
+
+    def test_deform_rb_validation(self, rng, monkeypatch):
+        from betrayed_by_captions_tpu.ops.deform_attn_windowed_pallas import (
+            windowed_ms_deform_attn_pallas,
+        )
+
+        shapes = [(2, 3)]
+        value, locs, wgts = build_inputs(rng, shapes, max_offset_cells=1.0, b=1)
+        monkeypatch.setenv("DEFORM_RB", "5")
+        with pytest.raises(ValueError, match="power of two"):
+            windowed_ms_deform_attn_pallas(
+                value, shapes, locs, wgts, window=4, interpret=True
+            )
+
+
 class TestWindowedDeformAttn:
     def test_matches_exact_op_in_window(self, rng):
         value, locs, wgts = build_inputs(rng, SHAPES, max_offset_cells=2.5)

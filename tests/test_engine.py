@@ -51,6 +51,8 @@ class TestConfig:
             "openset_panoptic/coco_panoptic_p5.py",
             "openset_panoptic/coco_panoptic_p10.py",
             "openset_panoptic/coco_panoptic_p20_ag_pretrain.py",
+            "openset_panoptic/coco_panoptic_p5_ag_pretrain.py",
+            "openset_panoptic/coco_panoptic_p10_ag_pretrain.py",
             "demo/ade20k_instance.py",
             "demo/coco_instance_ag3x_1x.py",
             "demo/coco_panoptic_p20.py",

@@ -62,6 +62,17 @@ def main():
             print(f"mismatched ({len(mismatched)}): {mismatched[:5]}")
             raise SystemExit(1)
         print("shape verification passed")
+        if (
+            model_cfg.get("attn_impl", "exact") != "exact"
+            or model_cfg.get("deform_window", 8) is not None
+        ):
+            print(
+                "NOTE: numeric parity checks against this reference "
+                "checkpoint require attn_impl='exact' AND "
+                "deform_window=None (mmcv never clamps sampling offsets; "
+                "see engine/porting.py). This config's windowed/clamped "
+                "sampling will NOT reproduce reference outputs."
+            )
 
     from betrayed_by_captions_tpu.engine.checkpoint import save_params
 
