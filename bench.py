@@ -15,6 +15,13 @@ A100: mmdet's Mask2Former-R50 model zoo reports ~9.7 fps on V100 for this
 architecture at the same resolution; A100 is ~2x V100 on this workload.
 ``vs_baseline`` = measured images/sec/chip / this estimate.
 
+Scope note: the metric is on-chip model throughput — images are
+pre-normalized random tensors already resident on device (the host input
+pipeline — JPEG decode, resize, normalize — is excluded; it runs in
+threaded prefetch workers overlapped with the chip in the real eval loop,
+engine/test_loop.py). Inputs are RANDOM (not zeros) so data-dependent
+effects (denormals, postproc top-k mask density) are exercised.
+
 Prints exactly ONE JSON line.
 """
 
@@ -66,7 +73,10 @@ def main():
         deform_window=6,
         dtype=jnp.bfloat16,
     )
-    images = jnp.zeros((BATCH, HW[0], HW[1], 3), jnp.float32)
+    # random normalized-image-statistics input (see scope note above)
+    images = jax.random.normal(
+        jax.random.PRNGKey(17), (BATCH, HW[0], HW[1], 3), jnp.float32
+    )
     params = model.init(jax.random.PRNGKey(0), images[:1])["params"]
     eval_step = make_eval_step(model, upsample=False)
     all_bank = jnp.asarray(banks.all_bank)

@@ -215,4 +215,11 @@ def train(cfg: Config, work_dir: str, resume: bool = False):
                             f"new best {best_key}={cur:.4f} "
                             f"@ epoch {epoch + 1}"
                         )
+
+    # final weights export: the file stage-2 configs init_from
+    # (e.g. work_dirs/coco_ag_pretrain_3x/params.npz) and tools/test.py
+    # consume — without it the two-stage recipe needs a manual export
+    from .checkpoint import save_params
+
+    save_params(os.path.join(work_dir, "params.npz"), state.params)
     return state

@@ -103,6 +103,70 @@ def instance_select(
     return SelectedInstances(labels, det_scores, sel_boxes, query_idx, valid)
 
 
+def upsampled_query_stats(
+    mask_pred: jnp.ndarray,  # (B, Q, h, w) logits at model resolution
+    out_hw: Tuple[int, int],
+    mask_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Integer-factor upsample fused with the per-query statistics.
+
+    Semantically identical to ``bilinear_resize`` followed by
+    ``query_mask_stats`` (tests assert it), but the full-resolution bf16
+    logit tensor — 4.3 GB at the batch-16 bench shape — is never
+    materialized: the W-direction phase outputs feed the threshold, the
+    score reductions and the box row/column occupancy directly, and only
+    the boolean mask (1 byte/px) is written.
+
+    Returns (masks_binary (B, Q, H, W) bool, mask_scores (B, Q),
+    boxes (B, Q, 4)).
+    """
+    from ..ops.resize import _phase_weights, _upsample_axis_int
+
+    b, q, h, w = mask_pred.shape
+    out_h, out_w = out_hw
+    assert out_h % h == 0 and out_w % w == 0, (mask_pred.shape, out_hw)
+    kh, kw = out_h // h, out_w // w
+
+    x = mask_pred.astype(mask_dtype)
+    yh = _upsample_axis_int(x, kh, axis=2)  # (B, Q, H, w)
+    left = jnp.concatenate([yh[..., :1], yh[..., :-1]], axis=-1)
+    right = jnp.concatenate([yh[..., 1:], yh[..., -1:]], axis=-1)
+
+    bins = []
+    num = jnp.zeros((b, q), jnp.float32)
+    den = jnp.zeros((b, q), jnp.float32)
+    row_any = jnp.zeros((b, q, out_h), bool)
+    col_any_phases = []
+    for kind, wa, wb in _phase_weights(kw):
+        a = left if kind == "left" else yh
+        bb = yh if kind == "left" else right
+        y_p = jnp.asarray(wa, x.dtype) * a + jnp.asarray(wb, x.dtype) * bb
+        bp = y_p > 0  # (B, Q, H, w)
+        bins.append(bp)
+        prob = jax.nn.sigmoid(y_p.astype(jnp.float32))
+        num = num + (prob * bp).sum(axis=(2, 3))
+        den = den + bp.sum(axis=(2, 3))
+        row_any = row_any | bp.any(axis=3)
+        col_any_phases.append(bp.any(axis=2))  # (B, Q, w)
+    # interleave phases: out col = kw * i + p
+    masks_binary = jnp.stack(bins, axis=-1).reshape(b, q, out_h, out_w)
+    col_any = jnp.stack(col_any_phases, axis=-1).reshape(b, q, out_w)
+
+    mask_scores = num / (den + 1e-6)
+
+    rows = jnp.arange(out_h, dtype=jnp.float32)
+    cols = jnp.arange(out_w, dtype=jnp.float32)
+    big = jnp.float32(1e9)
+    y1 = jnp.min(jnp.where(row_any, rows, big), axis=2)
+    y2 = jnp.max(jnp.where(row_any, rows, -big), axis=2) + 1
+    x1 = jnp.min(jnp.where(col_any, cols, big), axis=2)
+    x2 = jnp.max(jnp.where(col_any, cols, -big), axis=2) + 1
+    nonempty = jnp.any(row_any, axis=2)
+    boxes = jnp.stack([x1, y1, x2, y2], axis=2)
+    boxes = jnp.where(nonempty[..., None], boxes, jnp.zeros_like(boxes))
+    return masks_binary, mask_scores, boxes
+
+
 def instance_postprocess_emb(
     cls_emb: jnp.ndarray,  # (Q, d)
     mask_pred: jnp.ndarray,  # (Q, H, W) logits
@@ -206,11 +270,20 @@ def instance_postprocess_shared(
     """
     from ..ops.resize import bilinear_resize
 
-    if out_hw is not None:
-        mask_pred = bilinear_resize(
-            mask_pred.astype(mask_dtype), out_hw[0], out_hw[1]
+    h, w = mask_pred.shape[2:]
+    if out_hw is not None and out_hw[0] % h == 0 and out_hw[1] % w == 0:
+        # integer-factor upsample: fused path, full-res logits never hit HBM
+        masks_binary, mask_scores, boxes = upsampled_query_stats(
+            mask_pred, out_hw, mask_dtype
         )
-    masks_binary, mask_scores, boxes = jax.vmap(query_mask_stats)(mask_pred)
+    else:
+        if out_hw is not None:
+            mask_pred = bilinear_resize(
+                mask_pred.astype(mask_dtype), out_hw[0], out_hw[1]
+            )
+        masks_binary, mask_scores, boxes = jax.vmap(query_mask_stats)(
+            mask_pred
+        )
     selected = {
         key: jax.vmap(
             lambda e, ms, bx, _bank=bank: instance_select(

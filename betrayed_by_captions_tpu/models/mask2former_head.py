@@ -78,8 +78,15 @@ class Mask2FormerHeadOpen(nn.Module):
             dtype=self.dtype,
             name="pixel_decoder",
         )
+        # remat also covers the query decoder: each layer's saved
+        # cross-attention probabilities over up-to-16k keys are the other
+        # big training-HBM consumer after the encoder (B=8: ~0.4 GB per
+        # stride-8 layer); recompute them in backward instead
+        layer_cls = (
+            nn.remat(DetrDecoderLayer) if self.remat else DetrDecoderLayer
+        )
         self.decoder_layers = [
-            DetrDecoderLayer(
+            layer_cls(
                 embed_dim=self.feat_channels,
                 num_heads=self.num_heads,
                 ffn_dim=self.ffn_dim,

@@ -900,17 +900,22 @@ def windowed_ms_deform_attn_pallas(
         offsets.append(offsets[-1] + h_l * w_l)
     assert offsets[-1] == s
 
-    # value images per level: (B, H, Hb, D, Wb), bf16 compute
-    vimgs = []
-    for li, (h_l, w_l) in enumerate(spatial_shapes):
-        v = value[:, offsets[li] : offsets[li + 1]].reshape(
-            b, h_l, w_l, nh, d
-        )
-        vimgs.append(
-            jnp.transpose(v, (0, 3, 1, 4, 2)).astype(jnp.bfloat16)
-        )  # (B, H, Hb, D, Wb)
-
     import os
+
+    # value images per level, built lazily per orientation:
+    # normal (B, H, Hb, D, Wb) / transposed (B, H, Wb, D, Hb), bf16
+    _vcache = {}
+
+    def vimg(li, tr):
+        key = (li, tr)
+        if key not in _vcache:
+            h_l, w_l = spatial_shapes[li]
+            v = value[:, offsets[li] : offsets[li + 1]].reshape(
+                b, h_l, w_l, nh, d
+            )
+            perm = (0, 3, 2, 4, 1) if tr else (0, 3, 1, 4, 2)
+            _vcache[key] = jnp.transpose(v, perm).astype(jnp.bfloat16)
+        return _vcache[key]
 
     out_levels: List[jnp.ndarray] = []
     for ai, (ha, wa) in enumerate(spatial_shapes):
@@ -918,8 +923,27 @@ def windowed_ms_deform_attn_pallas(
         # ~1000x Mosaic retiling cliff (measured 11s vs 10ms per call).
         # DEFORM_RB is an experimentation knob (tools/check_pallas_tpu.py).
         rb = int(os.environ.get("DEFORM_RB", "4"))
-        ha_pad = _round_up(ha, rb)
-        wpad = _round_up(wa, 128)
+        if rb < 1 or rb > 64 or (rb & (rb - 1)) != 0:
+            raise ValueError(
+                f"DEFORM_RB={rb}: row-block size must be a power of two "
+                "in [1, 64] (odd sizes hit a ~1000x Mosaic retiling cliff)"
+            )
+        # orientation: put whichever spatial dim wastes fewer padded
+        # cells on lanes. The stride-8 level of the flagship 800x1344
+        # bucket is (100, 168): normal orientation pads lanes 168 -> 256
+        # (52% waste in every weight tensor AND every kernel vector op);
+        # transposed puts 100 on lanes (pad 128) and 168 on rows.
+        # DEFORM_TRANSPOSE=0 forces normal orientation (A/B knob).
+        tr = _round_up(wa, rb) * _round_up(ha, 128) < _round_up(
+            ha, rb
+        ) * _round_up(wa, 128)
+        if os.environ.get("DEFORM_TRANSPOSE", "auto") == "0":
+            tr = False
+        qh, qw = (wa, ha) if tr else (ha, wa)
+        ha_pad = _round_up(qh, rb)
+        wpad = _round_up(qw, 128)
+        # lane coordinate: x normally, y when transposed
+        lane_i, row_i = (1, 0) if tr else (0, 1)
 
         locs_seg = sampling_locations[:, offsets[ai] : offsets[ai + 1]]
         wgts_seg = attention_weights[:, offsets[ai] : offsets[ai + 1]]
@@ -935,49 +959,62 @@ def windowed_ms_deform_attn_pallas(
             locs_r = locs_seg.reshape(b, ha, wa, grp, hp, nl, p, 2)
             wgts_r = wgts_seg.reshape(b, ha, wa, grp, hp, nl, p)
         else:
-            # (B, H, Ha, Wa, P, ...) layouts
+            # (B, H, qh, qw, P, ...) layouts (spatial dims in orientation)
+            sperm = (0, 3, 2, 1) if tr else (0, 3, 1, 2)
             locs_a = jnp.transpose(
                 locs_seg.reshape(b, ha, wa, nh, nl, p, 2),
-                (0, 3, 1, 2, 4, 5, 6),
-            )  # (B, H, Ha, Wa, L, P, 2)
+                sperm + (4, 5, 6),
+            )  # (B, H, qh, qw, L, P, 2)
             wgts_a = jnp.transpose(
-                wgts_seg.reshape(b, ha, wa, nh, nl, p), (0, 3, 1, 2, 4, 5)
-            )  # (B, H, Ha, Wa, L, P)
+                wgts_seg.reshape(b, ha, wa, nh, nl, p), sperm + (4, 5)
+            )  # (B, H, qh, qw, L, P)
 
         acc = None
         merged: List = []  # (prep, fx, fy, at, mode, k, phase_rows) per b
         for bi, (hb, wb) in enumerate(spatial_shapes):
-            ax = jnp.asarray(_anchor(wa, wb, w), jnp.float32)
-            ay = jnp.asarray(_anchor(ha, hb, w), jnp.float32)
+            # value level extents in the chosen orientation
+            vh, vw = (wb, hb) if tr else (hb, wb)
+            ax = jnp.asarray(_anchor(qw, vw, w), jnp.float32)  # lane anchor
+            ay = jnp.asarray(_anchor(qh, vh, w), jnp.float32)  # row anchor
             prep, mode, k, phase_rows = _prep_value_pair(
-                vimgs[bi], ha, wa, hb, wb, w, wpad, rb, ha_pad
+                vimg(bi, tr), qh, qw, vh, vw, w, wpad, rb, ha_pad
             )
             rows_v, cols_v = prep.shape[2], prep.shape[4]
 
             if use_merged:
-                # (B, Ha, Wa, G, hp, P)
-                px = locs_r[..., bi, :, 0].astype(jnp.float32) * wb - 0.5
-                py = locs_r[..., bi, :, 1].astype(jnp.float32) * hb - 0.5
-                fx = jnp.clip(
-                    px - ax[None, None, :, None, None, None], 0, w - 1
-                )
-                fy = jnp.clip(
-                    py - ay[None, :, None, None, None, None], 0, w - 1
-                )
+                # (B, Ha, Wa, G, hp, P); dim1 = y, dim2 = x always — the
+                # orientation only decides which one lands on lanes
+                px = locs_r[..., bi, :, lane_i].astype(jnp.float32) * vw - 0.5
+                py = locs_r[..., bi, :, row_i].astype(jnp.float32) * vh - 0.5
+                if tr:
+                    fx = jnp.clip(
+                        px - ax[None, :, None, None, None, None], 0, w - 1
+                    )
+                    fy = jnp.clip(
+                        py - ay[None, None, :, None, None, None], 0, w - 1
+                    )
+                else:
+                    fx = jnp.clip(
+                        px - ax[None, None, :, None, None, None], 0, w - 1
+                    )
+                    fy = jnp.clip(
+                        py - ay[None, :, None, None, None, None], 0, w - 1
+                    )
                 at = wgts_r[..., bi, :]
 
                 def pk(x, dt):
-                    x = jnp.transpose(x, (0, 3, 1, 4, 5, 2))
-                    # (B, G, Ha, hp, P, Wa) -> packed sublanes + lane pad
-                    x = x.reshape(b, grp, ha, hp * p, wa).astype(dt)
+                    perm = (0, 3, 2, 4, 5, 1) if tr else (0, 3, 1, 4, 5, 2)
+                    x = jnp.transpose(x, perm)
+                    # (B, G, qh, hp, P, qw) -> packed sublanes + lane pad
+                    x = x.reshape(b, grp, qh, hp * p, qw).astype(dt)
                     return jnp.pad(
                         x,
                         (
                             (0, 0),
                             (0, 0),
-                            (0, ha_pad - ha),
+                            (0, ha_pad - qh),
                             (0, 0),
-                            (0, wpad - wa),
+                            (0, wpad - qw),
                         ),
                     )
 
@@ -994,24 +1031,24 @@ def windowed_ms_deform_attn_pallas(
                 )
                 continue
 
-            px = locs_a[..., bi, :, 0].astype(jnp.float32) * wb - 0.5
-            py = locs_a[..., bi, :, 1].astype(jnp.float32) * hb - 0.5
+            px = locs_a[..., bi, :, lane_i].astype(jnp.float32) * vw - 0.5
+            py = locs_a[..., bi, :, row_i].astype(jnp.float32) * vh - 0.5
             fx = jnp.clip(px - ax[None, None, None, :, None], 0, w - 1)
             fy = jnp.clip(py - ay[None, None, :, None, None], 0, w - 1)
             at = wgts_a[..., bi, :]
 
-            # to kernel layout (B, H, Ha_pad, P, WPAD); padded region gets
+            # to kernel layout (B, H, ha_pad, P, WPAD); padded region gets
             # attn=0 so it contributes nothing
             def to_lanes(x, fill):
-                x = jnp.transpose(x, (0, 1, 2, 4, 3))  # (B,H,Ha,P,Wa)
+                x = jnp.transpose(x, (0, 1, 2, 4, 3))  # (B,H,qh,P,qw)
                 return jnp.pad(
                     x,
                     (
                         (0, 0),
                         (0, 0),
-                        (0, ha_pad - ha),
+                        (0, ha_pad - qh),
                         (0, 0),
-                        (0, wpad - wa),
+                        (0, wpad - qw),
                     ),
                     constant_values=fill,
                 )
@@ -1044,11 +1081,10 @@ def windowed_ms_deform_attn_pallas(
                 tuple(m[3] for m in merged),
             ).astype(jnp.float32)
 
-        # (B, H, Ha_pad, D, WPAD) -> (B, Ha*Wa, H*D)
-        out = acc[:, :, :ha, :, :wa]
-        out = jnp.transpose(out, (0, 2, 4, 1, 3)).reshape(
-            b, ha * wa, nh * d
-        )
+        # (B, H, ha_pad, D, WPAD) -> (B, Ha*Wa, H*D)
+        out = acc[:, :, :qh, :, :qw]
+        perm = (0, 4, 2, 1, 3) if tr else (0, 2, 4, 1, 3)
+        out = jnp.transpose(out, perm).reshape(b, ha * wa, nh * d)
         out_levels.append(out)
 
     return jnp.concatenate(out_levels, axis=1).astype(out_dtype)

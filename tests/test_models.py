@@ -129,6 +129,31 @@ class TestFusionHead:
         s = np.asarray(res.scores)
         assert (s >= 0).all() and (s <= 1).all()
 
+    def test_upsampled_query_stats_exact(self, rng):
+        """The fused upsample+stats path must equal resize-then-stats
+        exactly in f32 (it is the same phase arithmetic, reordered)."""
+        from betrayed_by_captions_tpu.models.fusion_head import (
+            query_mask_stats,
+            upsampled_query_stats,
+        )
+        from betrayed_by_captions_tpu.ops.resize import bilinear_resize
+
+        b, q, h, w = 2, 5, 8, 12
+        masks = jnp.asarray(rng.randn(b, q, h, w).astype(np.float32) * 4)
+        for out_hw in [(h * 4, w * 4), (h * 2, w * 2), (h, w)]:
+            bin_f, score_f, box_f = upsampled_query_stats(
+                masks, out_hw, mask_dtype=jnp.float32
+            )
+            up = bilinear_resize(masks, *out_hw)
+            import jax
+
+            bin_r, score_r, box_r = jax.vmap(query_mask_stats)(up)
+            np.testing.assert_array_equal(np.asarray(bin_f), np.asarray(bin_r))
+            np.testing.assert_allclose(
+                np.asarray(score_f), np.asarray(score_r), rtol=1e-6, atol=1e-6
+            )
+            np.testing.assert_array_equal(np.asarray(box_f), np.asarray(box_r))
+
     def test_shared_postprocess_matches_per_image(self, rng):
         """instance_postprocess_shared (stats once, per-bank select) must
         reproduce instance_postprocess_emb on the upsampled masks."""

@@ -141,15 +141,7 @@ def main():
     ev = eval_step(params, images)
     timeit(eval_step, params, images, name="eval step (forward, stride-4 masks)")
 
-    # 6. upsample alone (bf16 phase path, as used by the fused postproc)
-    from betrayed_by_captions_tpu.ops.resize import bilinear_resize
-
-    masks_small = ev["mask_preds"].astype(jnp.bfloat16)
-    up = jax.jit(lambda m: bilinear_resize(m, HW[0], HW[1]))
-    up(masks_small)
-    timeit(up, masks_small, name=f"mask upsample bf16 {tuple(masks_small.shape)} -> {HW}")
-
-    # 7. fused postproc (upsample + shared per-query stats + selection)
+    # 6. fused postproc (upsample + shared per-query stats + selection)
     from betrayed_by_captions_tpu.models.class_banks import asset_path, load_class_banks
     from betrayed_by_captions_tpu.models.fusion_head import (
         instance_postprocess_shared,
@@ -175,6 +167,21 @@ def main():
         postproc, ev["cls_emb_preds"], ev["mask_preds"],
         name="fused postproc (upsample+stats+select)",
     )
+
+    # 7. upsample alone (materializes full-res bf16 logits: OOMs at
+    # batch 16 with the other stage buffers resident — informational only)
+    try:
+        from betrayed_by_captions_tpu.ops.resize import bilinear_resize
+
+        masks_small = ev["mask_preds"].astype(jnp.bfloat16)
+        up = jax.jit(lambda m: bilinear_resize(m, HW[0], HW[1]))
+        up(masks_small)
+        timeit(
+            up, masks_small,
+            name=f"mask upsample bf16 {tuple(masks_small.shape)} -> {HW}",
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"mask upsample alone: skipped ({type(e).__name__})")
 
     if args.trace:
         with jax.profiler.trace(args.trace):
