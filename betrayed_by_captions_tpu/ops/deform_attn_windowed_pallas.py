@@ -788,74 +788,64 @@ def _prep_value_pair(
         )
         return prep, "same", 1, 0
 
-    if hb < ha:  # value coarser by k: upsample with repeat, then pad
+    if hb < ha:  # value coarser by k: pad SMALL, then one big repeat
         k = ha // hb
         assert k * hb == ha and k * wb == wa, (ha, wa, hb, wb)
-        # row indices reach (ha_pad-1) + k*w - k//2; cols k*(w+1) - k//2 + wpad
-        # (repeat-then-pad == pad-then-repeat for zero margins, and keeps
-        # XLA from materializing an intermediate padded image in an odd
-        # layout)
-        up = jnp.repeat(jnp.repeat(vimg, k, axis=2), k, axis=4)
+        # row indices reach (ha_pad-1) + k*w - k//2; cols k*(w+1) - k//2 + wpad.
+        # Padding the small image first and repeating once keeps the big
+        # materialization to a SINGLE pass (the round-4 trace showed
+        # repeat-then-pad as two full-size passes, ~1.5 ms each at the
+        # flagship batch-16 coarser pairs); the target extents round up
+        # to multiples of k, which only costs a few extra VMEM rows.
         rows = max(k * (hb + 2 * pad), ha_pad + k * w + 1)
         cols = max(k * (wb + 2 * pad), wpad + k * (w + 1) + 1)
-        prep = jnp.pad(
-            up,
+        rows_small = (rows + k - 1) // k
+        cols_small = (cols + k - 1) // k
+        vp_small = jnp.pad(
+            vimg,
             (
                 (0, 0),
                 (0, 0),
-                (k * pad, rows - k * pad - k * hb),
+                (pad, rows_small - pad - hb),
                 (0, 0),
-                (k * pad, cols - k * pad - k * wb),
+                (pad, cols_small - pad - wb),
             ),
         )
+        prep = jnp.repeat(jnp.repeat(vp_small, k, axis=2), k, axis=4)
         return prep, "coarser", k, 0
 
-    # value finer by k: k x k phase decimation
+    # value finer by k: k x k phase decomposition in ONE space-to-depth
+    # pass. Strided lane slices lower as gathers on TPU (measured 7.5
+    # ms/layer, round-3 trace) and the pad + k^2 slices + concat pipeline
+    # cost several full-size relayout passes (round-4 trace); instead,
+    # pad to k-multiples and reshape/transpose so every phase
+    # vp[pr::k, pc::k] lands as one contiguous row block.
     k = hb // ha
     assert k * ha == hb and k * wa == wb, (ha, wa, hb, wb)
-    rows_v = hb + 2 * pad
-    cols_v = wb + 2 * pad
-    # NOTE: pad-then-decimate. Decimating the raw image with strided
-    # lax.slice first looks cheaper on paper but lane-dim striding
-    # lowers as a gather on TPU (measured 7.5 ms/layer vs ~1 ms for the
-    # padded-image route, round-3 trace).
+    b_, h_, _, d_, _ = vimg.shape
+    # in-kernel row index reaches i + (m // k) <= (ha_pad-1) + m_max//k + 1;
+    # lanes hold only the real decimated width (~wa) plus the shift
+    # margin; the kernels read this narrow slab and zero-pad it to wpad
+    # in registers — full-wpad phase copies waste up to 4x VMEM and OOM
+    # the backward kernels
+    m_max = (k - 1) // 2 + w
+    phase_rows = max(ha_pad + m_max // k + 1, (hb + 2 * pad + k - 1) // k)
+    phase_cols = wa + m_max // k + 2
+    rows_t = k * phase_rows
+    cols_t = k * phase_cols
     vp = jnp.pad(
         vimg,
         (
             (0, 0),
             (0, 0),
-            (pad, rows_v - pad - hb),
+            (pad, rows_t - pad - hb),
             (0, 0),
-            (pad, cols_v - pad - wb),
+            (pad, cols_t - pad - wb),
         ),
     )
-    # phase (pr, pc): vp[pr::k, :, pc::k]; in-kernel row index reaches
-    # i + (m // k) <= (ha_pad - 1) + ((k-1)//2 + w) // k + 1
-    m_max = (k - 1) // 2 + w
-    phase_rows = ha_pad + m_max // k + 1
-    # lanes hold only the real decimated width (~wa) plus the shift
-    # margin; the kernels read this narrow slab and zero-pad it to wpad
-    # in registers — full-wpad phase copies waste up to 4x VMEM and OOM
-    # the backward kernels
-    phase_cols = wa + m_max // k + 2
-    phases = []
-    for pr in range(k):
-        for pc in range(k):
-            ph = vp[:, :, pr::k, :, pc::k]
-            ph = ph[:, :, :phase_rows, :, :phase_cols]
-            phases.append(
-                jnp.pad(
-                    ph,
-                    (
-                        (0, 0),
-                        (0, 0),
-                        (0, phase_rows - ph.shape[2]),
-                        (0, 0),
-                        (0, phase_cols - ph.shape[4]),
-                    ),
-                )
-            )
-    prep = jnp.concatenate(phases, axis=2)  # (B,H,k*k*phase_rows,D,cols)
+    ph = vp.reshape(b_, h_, phase_rows, k, d_, phase_cols, k)
+    ph = jnp.transpose(ph, (0, 1, 3, 6, 2, 4, 5))  # (B,H,kr,kc,R,D,C)
+    prep = ph.reshape(b_, h_, k * k * phase_rows, d_, phase_cols)
     return prep, "finer", k, phase_rows
 
 
