@@ -1,0 +1,297 @@
+"""Channels-major deformable encoder (TPU production layout).
+
+The round-4 device trace of the token-layout encoder showed ~30 ms/layer
+(batch 16) of XLA relayouts around 24 ms of Pallas kernels: every layer
+re-derived image-layout value/weight tensors (spatial lane dim) from
+token-layout ``(B, S, C)`` activations (feature lane dim), paying full
+lane transposes for each of value, offsets, attention weights and the
+output. This module flips the RESIDENT layout instead: the encoder's
+activations are per-level channels-major images ``(B, C, eh, ew)`` whose
+lane dim is the level's kernel-preferred spatial dim, so
+
+- Dense projections contract over the leading channel dim (the MXU
+  handles transposed operands natively),
+- packing projections into kernel layout is a sublane-level permute
+  (lanes unchanged),
+- LayerNorm/FFN/residual are layout-agnostic elementwise/contraction ops.
+
+``(eh, ew)`` is ``(h, w)`` or ``(w, h)`` per level, chosen by the same
+lane-padding-waste rule as the kernel (the flagship stride-8 level of the
+800x1344 bucket stores transposed: 100 lanes instead of 168->256).
+
+Parameter trees are IDENTICAL to the token-layout modules (same names,
+same (in, out) kernel shapes), so checkpoints are interchangeable between
+``attn_impl`` paths and reference-checkpoint porting is unchanged.
+
+Equivalent reference component: mmcv MultiScaleDeformableAttention +
+mmdet encoder layers (configs/instance/coco_b48n17.py:48-58); numerical
+behavior matches models/deformable.py with ``attn_impl="windowed_pallas"``
+(tests/test_deform_cm.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, List, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.deform_attn_windowed_pallas import (
+    _round_up,
+    windowed_ms_deform_attn_pallas_cm,
+)
+from .deformable import _compass_offset_init
+
+Dtype = Any
+
+
+def choose_orientations(
+    spatial_shapes: Sequence[Tuple[int, int]], rb: int = 4
+) -> Tuple[bool, ...]:
+    """Per level: store transposed when that wastes fewer padded lanes
+    (mirrors the kernel's orientation rule)."""
+    out = []
+    for (h, w) in spatial_shapes:
+        out.append(
+            _round_up(w, rb) * _round_up(h, 128)
+            < _round_up(h, rb) * _round_up(w, 128)
+        )
+    return tuple(out)
+
+
+class DenseCM(nn.Module):
+    """nn.Dense applied over the leading channel dim of (B, C, *spatial).
+
+    Identical param tree to nn.Dense (kernel (in, out), bias (out,));
+    ``y[b, f, ...] = sum_c x[b, c, ...] K[c, f] + b[f]``.
+    """
+
+    features: int
+    kernel_init: Any = nn.initializers.lecun_normal()
+    bias_init: Any = nn.initializers.zeros
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_features = x.shape[1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (in_features, self.features)
+        )
+        bias = self.param("bias", self.bias_init, (self.features,))
+        y = jnp.einsum(
+            "bc...,cf->bf...", x, kernel.astype(self.dtype)
+        )
+        return y + bias.astype(y.dtype).reshape(
+            (1, -1) + (1,) * (y.ndim - 2)
+        )
+
+
+class _LNCore(nn.Module):
+    """Param holder matching nn.LayerNorm's tree ({scale, bias})."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        shape = (1, -1) + (1,) * (x.ndim - 2)
+        return x * scale.reshape(shape) + bias.reshape(shape)
+
+
+class LayerNormF32CM(nn.Module):
+    """LayerNormF32 over the channel dim of (B, C, *spatial)."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        orig = x.dtype
+        y = x.astype(jnp.float32)
+        mean = y.mean(axis=1, keepdims=True)
+        var = ((y - mean) ** 2).mean(axis=1, keepdims=True)
+        y = (y - mean) * jax.lax.rsqrt(var + self.eps)
+        y = _LNCore(features=x.shape[1], name="ln")(y)
+        return y.astype(orig)
+
+
+class FFNCM(nn.Module):
+    """FFN (Linear-ReLU-Linear + residual) over the channel dim."""
+
+    hidden_features: int
+    out_features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = DenseCM(self.hidden_features, dtype=self.dtype, name="fc1")(x)
+        y = nn.relu(y)
+        y = DenseCM(self.out_features, dtype=self.dtype, name="fc2")(y)
+        return x + y
+
+
+def make_reference_points_cm(
+    spatial_shapes: Sequence[Tuple[int, int]],
+    orientations: Sequence[bool],
+) -> List[np.ndarray]:
+    """Per level (2, eh, ew) planes of normalized (x, y) grid centers in
+    the stored orientation (channel 0 = x, 1 = y)."""
+    out = []
+    for (h, w), tr in zip(spatial_shapes, orientations):
+        ys = (np.arange(h, dtype=np.float32) + 0.5) / h
+        xs = (np.arange(w, dtype=np.float32) + 0.5) / w
+        gy, gx = np.meshgrid(ys, xs, indexing="ij")  # (h, w)
+        ref = np.stack([gx, gy], axis=0)  # (2, h, w)
+        if tr:
+            ref = np.transpose(ref, (0, 2, 1))  # (2, w, h)
+        out.append(ref)
+    return out
+
+
+class MSDeformAttentionCM(nn.Module):
+    """Channels-major multi-scale deformable self-attention.
+
+    Input/output: per-level lists of (B, C, eh, ew). Param tree matches
+    models/deformable.MSDeformAttention exactly.
+    """
+
+    embed_dim: int = 256
+    num_heads: int = 8
+    num_levels: int = 3
+    num_points: int = 4
+    window: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        queries: Sequence[jnp.ndarray],  # tokens + pos, per level
+        tokens: Sequence[jnp.ndarray],  # raw tokens, per level
+        reference_points: Sequence[jnp.ndarray],  # per level (2, eh, ew)
+        spatial_shapes: Sequence[Tuple[int, int]],
+        orientations: Sequence[bool],
+    ) -> List[jnp.ndarray]:
+        nh, nl, npts = self.num_heads, self.num_levels, self.num_points
+        d = self.embed_dim // nh
+        w = self.window
+        assert w is not None, "channels-major path is always windowed"
+
+        value_proj = DenseCM(
+            self.embed_dim, dtype=self.dtype, name="value_proj"
+        )
+        offsets_proj = DenseCM(
+            nh * nl * npts * 2,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.zeros,
+            bias_init=_compass_offset_init(
+                nh, nl, npts, max_offset=w / 2 - 1
+            ),
+            name="sampling_offsets",
+        )
+        attn_proj = DenseCM(
+            nh * nl * npts,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="attention_weights",
+        )
+        output_proj = DenseCM(
+            self.embed_dim, dtype=self.dtype, name="output_proj"
+        )
+
+        normalizer = np.array(
+            [[w_l, h_l] for (h_l, w_l) in spatial_shapes], np.float32
+        )  # (L, 2) in (x, y) order
+
+        values, locations, attention = [], [], []
+        for li in range(nl):
+            b = tokens[li].shape[0]
+            eh, ew = tokens[li].shape[2:]
+            v = value_proj(tokens[li]).reshape(b, nh, d, eh, ew)
+            # kernel value layout (B, NH, rows=eh, D, lanes=ew):
+            # lanes unchanged -> sublane permute
+            values.append(
+                jnp.transpose(v, (0, 1, 3, 2, 4)).astype(jnp.bfloat16)
+            )
+
+            offs = offsets_proj(queries[li]).reshape(
+                b, nh, nl, npts, 2, eh, ew
+            ).astype(jnp.float32)
+            # window clamp (see models/deformable.py docstring)
+            offs = jnp.clip(offs, -(w / 2 - 1), w / 2 - 1)
+            locs = (
+                reference_points[li][None, None, None, None, :, :, :]
+                + offs / normalizer[None, None, :, None, :, None, None]
+            )
+            locations.append(locs)
+
+            at = attn_proj(queries[li]).reshape(b, nh, nl * npts, eh, ew)
+            at = nn.softmax(at.astype(jnp.float32), axis=2)
+            attention.append(
+                at.reshape(b, nh, nl, npts, eh, ew).astype(self.dtype)
+            )
+
+        outs = windowed_ms_deform_attn_pallas_cm(
+            values,
+            spatial_shapes,
+            orientations,
+            locations,
+            attention,
+            window=w,
+        )
+        results = []
+        for li, o in enumerate(outs):
+            b = o.shape[0]
+            eh, ew = o.shape[2], o.shape[4]
+            o = jnp.transpose(o, (0, 1, 3, 2, 4)).reshape(
+                b, nh * d, eh, ew
+            )
+            results.append(output_proj(o.astype(self.dtype)))
+        return results
+
+
+class EncoderLayerCM(nn.Module):
+    """One channels-major deformable encoder layer (param tree matches
+    pixel_decoder.EncoderLayer). ``__call__`` takes/returns per-level
+    tuples of (B, C, eh, ew)."""
+
+    spatial_shapes: Tuple[Tuple[int, int], ...]
+    orientations: Tuple[bool, ...]
+    embed_dim: int = 256
+    num_heads: int = 8
+    num_levels: int = 3
+    num_points: int = 4
+    ffn_dim: int = 1024
+    window: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens, pos, reference_points):
+        queries = tuple(t + p for t, p in zip(tokens, pos))
+        attn_out = MSDeformAttentionCM(
+            embed_dim=self.embed_dim,
+            num_heads=self.num_heads,
+            num_levels=self.num_levels,
+            num_points=self.num_points,
+            window=self.window,
+            dtype=self.dtype,
+            name="attn",
+        )(
+            queries,
+            tokens,
+            reference_points,
+            self.spatial_shapes,
+            self.orientations,
+        )
+        norm1 = LayerNormF32CM(name="norm1")
+        ffn = FFNCM(self.ffn_dim, self.embed_dim, dtype=self.dtype, name="ffn")
+        norm2 = LayerNormF32CM(name="norm2")
+        out = []
+        for t, a in zip(tokens, attn_out):
+            y = norm1(t + a)
+            y = ffn(y)
+            out.append(norm2(y))
+        return tuple(out)

@@ -101,42 +101,105 @@ class MSDeformAttnPixelDecoder(nn.Module):
             (self.num_encoder_levels, c),
         )
 
-        tokens, pos_list = [], []
-        for i, f in enumerate(enc_feats):
-            h, w = spatial_shapes[i]
-            proj = ConvGN(c, 1, dtype=self.dtype, name=f"input_conv{i}")(f)
-            tokens.append(proj.reshape(b, h * w, c))
-            pos = sine_positional_encoding_2d(h, w, c // 2)  # (C,h,w)
-            pos = pos.reshape(c, h * w).T  # (h*w, C)
-            pos_list.append(
-                (pos + level_embed[i][None, :]).astype(self.dtype)
+        projs = [
+            ConvGN(c, 1, dtype=self.dtype, name=f"input_conv{i}")(f)
+            for i, f in enumerate(enc_feats)
+        ]
+
+        use_cm = (
+            self.attn_impl == "windowed_pallas"
+            and self.window is not None
+            and self.num_heads % 2 == 0
+        )
+        if use_cm:
+            # channels-major encoder (see models/deformable_cm.py): the
+            # resident layout keeps each level's kernel-preferred spatial
+            # dim on lanes; entry/exit pay ONE lane transpose per level
+            # instead of per-layer relayouts of value/weights/output
+            from .deformable_cm import (
+                EncoderLayerCM,
+                choose_orientations,
+                make_reference_points_cm,
             )
-        tokens = jnp.concatenate(tokens, axis=1)  # (B, S, C)
-        pos = jnp.concatenate(pos_list, axis=0)[None]  # (1, S, C)
 
-        reference_points = jnp.asarray(make_reference_points(spatial_shapes))
+            orientations = choose_orientations(spatial_shapes)
+            cm_tokens, pos_cm = [], []
+            for i, proj in enumerate(projs):
+                h, w = spatial_shapes[i]
+                perm = (0, 3, 2, 1) if orientations[i] else (0, 3, 1, 2)
+                cm_tokens.append(jnp.transpose(proj, perm))
+                pos = sine_positional_encoding_2d(h, w, c // 2)  # (C,h,w)
+                pos = pos + level_embed[i][:, None, None]
+                if orientations[i]:
+                    pos = jnp.transpose(pos, (0, 2, 1))
+                pos_cm.append(pos[None].astype(self.dtype))
+            refs = [
+                jnp.asarray(r)
+                for r in make_reference_points_cm(
+                    spatial_shapes, orientations
+                )
+            ]
+            cm_tokens = tuple(cm_tokens)
+            layer_cls = (
+                nn.remat(EncoderLayerCM) if self.remat else EncoderLayerCM
+            )
+            for li in range(self.num_encoder_layers):
+                cm_tokens = layer_cls(
+                    spatial_shapes=tuple(tuple(s) for s in spatial_shapes),
+                    orientations=orientations,
+                    embed_dim=c,
+                    num_heads=self.num_heads,
+                    num_levels=self.num_encoder_levels,
+                    num_points=self.num_points,
+                    ffn_dim=self.ffn_dim,
+                    window=self.window,
+                    dtype=self.dtype,
+                    name=f"encoder_layer{li}",
+                )(cm_tokens, tuple(pos_cm), tuple(refs))
+            memories = []
+            for i, t in enumerate(cm_tokens):
+                perm = (0, 3, 2, 1) if orientations[i] else (0, 2, 3, 1)
+                memories.append(jnp.transpose(t, perm))
+        else:
+            tokens, pos_list = [], []
+            for i, proj in enumerate(projs):
+                h, w = spatial_shapes[i]
+                tokens.append(proj.reshape(b, h * w, c))
+                pos = sine_positional_encoding_2d(h, w, c // 2)  # (C,h,w)
+                pos = pos.reshape(c, h * w).T  # (h*w, C)
+                pos_list.append(
+                    (pos + level_embed[i][None, :]).astype(self.dtype)
+                )
+            tokens = jnp.concatenate(tokens, axis=1)  # (B, S, C)
+            pos = jnp.concatenate(pos_list, axis=0)[None]  # (1, S, C)
 
-        layer_cls = nn.remat(EncoderLayer) if self.remat else EncoderLayer
-        for li in range(self.num_encoder_layers):
-            tokens = layer_cls(
-                spatial_shapes=tuple(tuple(s) for s in spatial_shapes),
-                embed_dim=c,
-                num_heads=self.num_heads,
-                num_levels=self.num_encoder_levels,
-                num_points=self.num_points,
-                ffn_dim=self.ffn_dim,
-                attn_impl=self.attn_impl,
-                window=self.window,
-                dtype=self.dtype,
-                name=f"encoder_layer{li}",
-            )(tokens, pos, reference_points)
+            reference_points = jnp.asarray(
+                make_reference_points(spatial_shapes)
+            )
 
-        # split back to per-level maps (low->high resolution)
-        memories = []
-        offset = 0
-        for (h, w) in spatial_shapes:
-            memories.append(tokens[:, offset : offset + h * w].reshape(b, h, w, c))
-            offset += h * w
+            layer_cls = nn.remat(EncoderLayer) if self.remat else EncoderLayer
+            for li in range(self.num_encoder_layers):
+                tokens = layer_cls(
+                    spatial_shapes=tuple(tuple(s) for s in spatial_shapes),
+                    embed_dim=c,
+                    num_heads=self.num_heads,
+                    num_levels=self.num_encoder_levels,
+                    num_points=self.num_points,
+                    ffn_dim=self.ffn_dim,
+                    attn_impl=self.attn_impl,
+                    window=self.window,
+                    dtype=self.dtype,
+                    name=f"encoder_layer{li}",
+                )(tokens, pos, reference_points)
+
+            # split back to per-level maps (low->high resolution)
+            memories = []
+            offset = 0
+            for (h, w) in spatial_shapes:
+                memories.append(
+                    tokens[:, offset : offset + h * w].reshape(b, h, w, c)
+                )
+                offset += h * w
 
         # FPN: fuse C2 with upsampled stride-8 memory
         lateral = ConvGN(c, 1, dtype=self.dtype, name="lateral_conv0")(feats[0])

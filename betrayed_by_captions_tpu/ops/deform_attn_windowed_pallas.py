@@ -849,6 +849,133 @@ def _prep_value_pair(
     return prep, "finer", k, phase_rows
 
 
+def windowed_ms_deform_attn_pallas_cm(
+    values: Sequence[jnp.ndarray],  # per level (B, NH, eh, D, ew) bf16
+    spatial_shapes: Sequence[Tuple[int, int]],  # true (h, w) per level
+    orientations: Sequence[bool],  # True = stored transposed (lanes = h)
+    locations: Sequence[jnp.ndarray],  # per level (B,NH,L,P,2,eh,ew) f32
+    attention: Sequence[jnp.ndarray],  # per level (B,NH,L,P,eh,ew)
+    window: int = DEFAULT_WINDOW,
+    interpret: bool = False,
+) -> List[jnp.ndarray]:
+    """Channels-major entry: all inputs/outputs keep each level's spatial
+    lane dim (``ew``) on lanes, so the packing into kernel layout is a
+    sublane-level permute instead of the lane relayouts that dominate the
+    token-layout entry (round-4 trace: ~30 ms/layer of XLA around 24 ms
+    of kernels at batch 16). Used by models/deformable_cm.py; the
+    token-layout ``windowed_ms_deform_attn_pallas`` remains for direct
+    drop-in use.
+
+    Per level ``(eh, ew)`` is ``(h, w)`` or, when ``orientations[l]``,
+    ``(w, h)``; ``locations[..., 0, :, :]`` is always the x coordinate.
+    Returns kernel-layout outputs per level: (B, NH, eh, D, ew) bf16.
+    """
+    import os
+
+    b, nh, _, d, _ = values[0].shape
+    nl = len(spatial_shapes)
+    p = locations[0].shape[3]
+    w = window
+    assert nh % 2 == 0, "channels-major path requires an even head count"
+    hp = 2
+    grp = nh // hp
+    interpret = interpret or jax.default_backend() == "cpu"
+
+    rb = int(os.environ.get("DEFORM_RB", "4"))
+    if rb < 1 or rb > 64 or (rb & (rb - 1)) != 0:
+        raise ValueError(
+            f"DEFORM_RB={rb}: row-block size must be a power of two "
+            "in [1, 64] (odd sizes hit a ~1000x Mosaic retiling cliff)"
+        )
+
+    # value images per (level, required orientation); stored orientation
+    # is free, the other one is a lane transpose (only mismatched pairs
+    # pay it, once per level thanks to the cache)
+    _vcache = {}
+
+    def vimg(li, want_tr):
+        key = (li, want_tr)
+        if key not in _vcache:
+            v = values[li]
+            if want_tr != orientations[li]:
+                v = jnp.transpose(v, (0, 1, 4, 3, 2))
+            _vcache[key] = v
+        return _vcache[key]
+
+    outs: List[jnp.ndarray] = []
+    for ai, (ha, wa) in enumerate(spatial_shapes):
+        tr = bool(orientations[ai])
+        qh, qw = (wa, ha) if tr else (ha, wa)
+        ha_pad = _round_up(qh, rb)
+        wpad = _round_up(qw, 128)
+        lane_i, row_i = (1, 0) if tr else (0, 1)
+
+        merged = []
+        for bi, (hb, wb) in enumerate(spatial_shapes):
+            vh, vw = (wb, hb) if tr else (hb, wb)
+            ax = jnp.asarray(_anchor(qw, vw, w), jnp.float32)  # lane anchor
+            ay = jnp.asarray(_anchor(qh, vh, w), jnp.float32)  # row anchor
+            prep, mode, k, phase_rows = _prep_value_pair(
+                vimg(bi, tr), qh, qw, vh, vw, w, wpad, rb, ha_pad
+            )
+
+            # (B, NH, eh, ew) coordinate planes for this value level
+            px = locations[ai][:, :, bi, :, lane_i].astype(jnp.float32)
+            py = locations[ai][:, :, bi, :, row_i].astype(jnp.float32)
+            # fractional window coords: clip into the window
+            fx = jnp.clip(
+                px * vw - 0.5 - ax[None, None, None, None, :], 0, w - 1
+            )
+            fy = jnp.clip(
+                py * vh - 0.5 - ay[None, None, None, :, None], 0, w - 1
+            )
+            at = attention[ai][:, :, bi]  # (B, NH, P, eh, ew)
+
+            def pk(x, dt):
+                # (B, (grp hp), P, eh, ew) -> (B, grp, ha_pad, hp*P, wpad):
+                # lanes (ew) unchanged -> sublane-level permute only
+                x = x.reshape(b, grp, hp, p, qh, qw)
+                x = jnp.transpose(x, (0, 1, 4, 2, 3, 5))
+                x = x.reshape(b, grp, qh, hp * p, qw).astype(dt)
+                return jnp.pad(
+                    x,
+                    (
+                        (0, 0),
+                        (0, 0),
+                        (0, ha_pad - qh),
+                        (0, 0),
+                        (0, wpad - qw),
+                    ),
+                )
+
+            merged.append(
+                (
+                    prep,
+                    pk(fx, jnp.float32),
+                    pk(fy, jnp.float32),
+                    pk(at, jnp.bfloat16),
+                    mode,
+                    k,
+                    phase_rows,
+                )
+            )
+
+        level_cfgs = tuple(
+            (m[4], m[5], m[6], m[0].shape[2], m[0].shape[4]) for m in merged
+        )
+        level_fn = _make_level_fn(
+            (b, nh, w, rb, ha_pad, p, d, wpad, hp, interpret, level_cfgs)
+        )
+        acc = level_fn(
+            tuple(m[0] for m in merged),
+            tuple(m[1] for m in merged),
+            tuple(m[2] for m in merged),
+            tuple(m[3] for m in merged),
+        )
+        outs.append(acc[:, :, :qh, :, :qw])  # (B, NH, eh, D, ew)
+    return outs
+
+
 def windowed_ms_deform_attn_pallas(
     value: jnp.ndarray,
     spatial_shapes: Sequence[Tuple[int, int]],
