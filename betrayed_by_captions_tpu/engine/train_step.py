@@ -147,7 +147,10 @@ def make_eval_step(
 
     @jax.jit
     def eval_step(params, images):
-        outputs = model.apply({"params": params}, images)
+        # only_last: intermediate decoder layers produce just their
+        # attention masks (level-resolution einsum); the full-res mask
+        # einsum/stack runs for the final layer alone
+        outputs = model.apply({"params": params}, images, only_last=True)
         cls = outputs["cls_scores"][-1]
         emb = outputs["cls_emb_preds"][-1]
         masks = outputs["mask_preds"][-1]

@@ -273,7 +273,7 @@ class Detector:
         self.eval_types = tuple(eval_types)
         self.max_per_image = max_per_image
         self._forward = jax.jit(
-            lambda p, x: model.apply({"params": p}, x)
+            lambda p, x: model.apply({"params": p}, x, only_last=True)
         )
 
     def __call__(self, image: np.ndarray, with_caption: bool = False) -> Dict:

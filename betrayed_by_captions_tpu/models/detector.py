@@ -82,11 +82,13 @@ class Mask2FormerOpen(nn.Module):
                 name="caption_generator",
             )
 
-    def __call__(self, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    def __call__(
+        self, images: jnp.ndarray, only_last: bool = False
+    ) -> Dict[str, jnp.ndarray]:
         """images: (B, H, W, 3) normalized NHWC. Returns stacked per-layer
         head outputs (see Mask2FormerHeadOpen.__call__)."""
         feats = self.backbone(images)
-        return self.head(feats)
+        return self.head(feats, only_last=only_last)
 
     def init_forward(self, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         """Initialization path touching every submodule (flax creates params

@@ -23,7 +23,7 @@ a Python loop of per-layer loss calls; static shapes throughout.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -121,27 +121,47 @@ class Mask2FormerHeadOpen(nn.Module):
         decoder_out: jnp.ndarray,  # (B, Q, C)
         mask_features: jnp.ndarray,  # (B, H4, W4, C)
         target_hw: Tuple[int, int],
+        mask_features_at_target: Optional[jnp.ndarray] = None,
+        skip_predictions: bool = False,
     ):
-        """Per-layer prediction head (reference forward_head, :711-761)."""
+        """Per-layer prediction head (reference forward_head, :711-761).
+
+        With ``mask_features_at_target`` (the stride-4 features already
+        resized to the target level), the next layer's attention mask is
+        computed by an einsum AT LEVEL RESOLUTION instead of a full-res
+        einsum + resize — mathematically identical (bilinear resize and
+        the channel einsum are both linear and commute), up to fp
+        rounding at threshold-borderline pixels. ``skip_predictions``
+        additionally drops this layer's cls/emb/full-res mask outputs
+        (eval only needs the final layer's)."""
         x = self.post_norm(decoder_out).astype(jnp.float32)
-        cls_pred = self.cls_embed(x)  # (B, Q, num_classes+1)
-        cls_emb_pred = cls_pred
-        if self.use_class_emb:
-            cls_emb_pred = self.v2l_transform(x)  # (B, Q, 768)
-            if self.pred_emb_norm:
-                cls_emb_pred = cls_emb_pred / jnp.linalg.norm(
-                    cls_emb_pred, axis=-1, keepdims=True
-                )
         mask_embed = self.mask_embed(decoder_out)  # (B, Q, C)
-        # mask logits stay in the compute dtype: the 10-layer stacked
-        # deep-supervision outputs at f32 are ~10 GB for batch-4 1024^2
-        # training; consumers cast AFTER slicing/sampling
-        mask_pred = jnp.einsum(
-            "bqc,bhwc->bqhw", mask_embed, mask_features
-        ).astype(self.dtype)
+        cls_pred = cls_emb_pred = mask_pred = None
+        if not skip_predictions:
+            cls_pred = self.cls_embed(x)  # (B, Q, num_classes+1)
+            cls_emb_pred = cls_pred
+            if self.use_class_emb:
+                cls_emb_pred = self.v2l_transform(x)  # (B, Q, 768)
+                if self.pred_emb_norm:
+                    cls_emb_pred = cls_emb_pred / jnp.linalg.norm(
+                        cls_emb_pred, axis=-1, keepdims=True
+                    )
+            # mask logits stay in the compute dtype: the 10-layer stacked
+            # deep-supervision outputs at f32 are ~10 GB for batch-4
+            # 1024^2 training; consumers cast AFTER slicing/sampling
+            mask_pred = jnp.einsum(
+                "bqc,bhwc->bqhw", mask_embed, mask_features
+            ).astype(self.dtype)
 
         # next layer's attention mask at the target level resolution
-        attn_logits = bilinear_resize(mask_pred, target_hw[0], target_hw[1])
+        if mask_features_at_target is not None:
+            attn_logits = jnp.einsum(
+                "bqc,bhwc->bqhw", mask_embed, mask_features_at_target
+            ).astype(self.dtype)
+        else:
+            attn_logits = bilinear_resize(
+                mask_pred, target_hw[0], target_hw[1]
+            )
         attn_mask = jax.nn.sigmoid(attn_logits) < 0.5  # True = blocked
         b, q = attn_mask.shape[:2]
         attn_mask = attn_mask.reshape(b, q, -1)  # (B, Q, h*w)
@@ -151,13 +171,22 @@ class Mask2FormerHeadOpen(nn.Module):
         attn_mask = jax.lax.stop_gradient(attn_mask)
         return cls_pred, cls_emb_pred, mask_pred, attn_mask
 
-    def __call__(self, feats: Sequence[jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    def __call__(
+        self,
+        feats: Sequence[jnp.ndarray],
+        only_last: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
         """feats: backbone C2..C5 (NHWC).
 
         Returns dict of stacked per-layer outputs:
             cls_scores (L+1, B, Q, num_classes+1) fp32
             cls_emb_preds (L+1, B, Q, emb_dim) fp32
             mask_preds (L+1, B, Q, H4, W4) compute dtype (bf16 on TPU)
+
+        ``only_last`` (eval fast path): intermediate layers produce only
+        the attention masks (einsum at level resolution against
+        pre-resized mask features — exact up to fp; see _forward_head);
+        the returned stacks have leading dim 1 (final layer only).
         """
         b = feats[0].shape[0]
         mask_features, memories = self.pixel_decoder(feats)
@@ -181,16 +210,34 @@ class Mask2FormerHeadOpen(nn.Module):
             self.query_embed[None], (b,) + self.query_embed.shape
         ).astype(self.dtype)
 
+        mf_levels = None
+        if only_last:
+            # stride-4 mask features resized once per level; every
+            # intermediate attn-mask einsum then runs at level resolution
+            mf = jnp.transpose(mask_features, (0, 3, 1, 2))
+            mf_levels = [
+                jnp.transpose(bilinear_resize(mf, h, w), (0, 2, 3, 1))
+                for (h, w) in level_shapes
+            ]
+
         cls_list, emb_list, mask_list = [], [], []
         cls_pred, emb_pred, mask_pred, attn_mask = self._forward_head(
-            query_feat, mask_features, level_shapes[0]
+            query_feat,
+            mask_features,
+            level_shapes[0],
+            mask_features_at_target=(
+                mf_levels[0] if only_last else None
+            ),
+            skip_predictions=only_last,
         )
-        cls_list.append(cls_pred)
-        emb_list.append(emb_pred)
-        mask_list.append(mask_pred)
+        if not only_last:
+            cls_list.append(cls_pred)
+            emb_list.append(emb_pred)
+            mask_list.append(mask_pred)
 
         for i in range(self.num_decoder_layers):
             level_idx = i % self.num_feat_levels
+            last = i == self.num_decoder_layers - 1
             query_feat = self.decoder_layers[i](
                 query_feat,
                 decoder_inputs[level_idx],
@@ -198,14 +245,20 @@ class Mask2FormerHeadOpen(nn.Module):
                 decoder_pos[level_idx],
                 cross_attn_mask=attn_mask[:, None, :, :],  # broadcast heads
             )
+            next_level = (i + 1) % self.num_feat_levels
             cls_pred, emb_pred, mask_pred, attn_mask = self._forward_head(
                 query_feat,
                 mask_features,
-                level_shapes[(i + 1) % self.num_feat_levels],
+                level_shapes[next_level],
+                mask_features_at_target=(
+                    mf_levels[next_level] if only_last and not last else None
+                ),
+                skip_predictions=only_last and not last,
             )
-            cls_list.append(cls_pred)
-            emb_list.append(emb_pred)
-            mask_list.append(mask_pred)
+            if not only_last or last:
+                cls_list.append(cls_pred)
+                emb_list.append(emb_pred)
+                mask_list.append(mask_pred)
 
         out = {
             "cls_scores": jnp.stack(cls_list, axis=0),

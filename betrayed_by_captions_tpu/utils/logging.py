@@ -24,10 +24,11 @@ class MetricLogger:
         if work_dir:
             os.makedirs(work_dir, exist_ok=True)
             self._file = open(os.path.join(work_dir, "metrics.jsonl"), "a")
-        self._accum: Dict[str, float] = {}
+        self._accum: Dict[str, object] = {}
         self._count = 0
         self._last_time = time.perf_counter()
         self._data_time = 0.0
+        self._step_time = 0.0
 
     def data_tick(self):
         """Call right after the batch is produced (measures data_time)."""
@@ -36,17 +37,30 @@ class MetricLogger:
         self._last_time = now
 
     def log_step(self, step: int, metrics: Dict[str, float], lr: float = None):
+        # accumulate LAZILY (jax array adds dispatch async): converting
+        # per step would force a device sync every iteration — multiple
+        # seconds per step through a flaky TPU tunnel, and a pipeline
+        # bubble everywhere else. One device_get per logging interval.
         for k, v in metrics.items():
-            self._accum[k] = self._accum.get(k, 0.0) + float(v)
+            self._accum[k] = v if k not in self._accum else self._accum[k] + v
         self._count += 1
-        if step % self.interval != 0 or self._count == 0:
-            self._last_time = time.perf_counter()
-            return
         now = time.perf_counter()
-        record = {k: v / self._count for k, v in self._accum.items()}
+        self._step_time += now - self._last_time
+        self._last_time = now
+        if step % self.interval != 0 or self._count == 0:
+            return
+        import jax
+
+        vals = jax.device_get(self._accum)  # single sync point
+        sync_done = time.perf_counter()
+        # the sync absorbs all queued device work for the interval, so
+        # charge it to step time
+        self._step_time += sync_done - self._last_time
+        self._last_time = sync_done
+        record = {k: float(v) / self._count for k, v in vals.items()}
         record["step"] = int(step)
         record["data_time"] = self._data_time / self._count
-        record["time"] = (now - self._last_time) / self._count + record["data_time"]
+        record["time"] = (self._step_time + self._data_time) / self._count
         if lr is not None:
             record["lr"] = float(lr)
         short = ", ".join(
@@ -61,6 +75,7 @@ class MetricLogger:
         self._accum = {}
         self._count = 0
         self._data_time = 0.0
+        self._step_time = 0.0
         self._last_time = time.perf_counter()
 
 

@@ -112,6 +112,33 @@ class TestCaptionTransformer:
         )
 
 
+class TestOnlyLastEval:
+    def test_matches_full_forward(self, rng):
+        """only_last (eval fast path: level-resolution attn-mask einsums,
+        final layer only) must reproduce the full forward's last-layer
+        outputs — resize and the channel einsum commute exactly."""
+        from betrayed_by_captions_tpu.models.detector import Mask2FormerOpen
+
+        model = Mask2FormerOpen(
+            num_classes=3, num_queries=6, feat_channels=32, emb_dim=16,
+            num_decoder_layers=3, use_caption_generation=False,
+        )
+        x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+        params = model.init(
+            jax.random.PRNGKey(0), x, method="init_forward"
+        )["params"]
+        full = model.apply({"params": params}, x)
+        fast = model.apply({"params": params}, x, only_last=True)
+        assert fast["mask_preds"].shape[0] == 1
+        for k in ("cls_scores", "cls_emb_preds", "mask_preds"):
+            np.testing.assert_allclose(
+                np.asarray(full[k][-1], np.float32),
+                np.asarray(fast[k][-1], np.float32),
+                rtol=1e-5,
+                atol=1e-5,
+            )
+
+
 class TestFusionHead:
     def test_instance_postprocess(self, rng):
         q, d, h, w = 6, 8, 16, 16
