@@ -262,8 +262,15 @@ class CocoDatasetOpen:
                 continue
             names = class_names_per_type[eval_type]
             label2cat = [name2id[n] for n in names]
+            # align results to images via each result's explicit img_id
+            # when present (engine/test_loop.py attaches it); positional
+            # fallback for callers that pass bare dicts
+            res_img_ids = [
+                r.get("img_id", self.img_ids[i]) if isinstance(r, dict) else self.img_ids[i]
+                for i, r in enumerate(per_image)
+            ]
             segm_res, bbox_res = results_to_coco_json(
-                per_image, self.img_ids[: len(per_image)], label2cat
+                per_image, res_img_ids, label2cat
             )
             pred_cats = list(label2cat)
             valid_imgs = self._imgs_with_cats(pred_cats)

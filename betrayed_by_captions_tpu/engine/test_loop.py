@@ -59,7 +59,9 @@ def evaluate(
         "base_results": banks.names_base,
     }
 
-    forward = jax.jit(lambda p, x: model.apply({"params": p}, x))
+    forward = jax.jit(
+        lambda p, x: model.apply({"params": p}, x, only_last=True)
+    )
 
     # caption generation path (reference eval_type 'cap_results')
     gen_caption = None
@@ -137,7 +139,14 @@ def evaluate(
                         max_per_image=cfg.get("max_per_image", 100),
                     )
                     results_per_type[et][j] = dict(
-                        labels=labels, scores=scores, boxes=boxes, masks=bmasks
+                        labels=labels,
+                        scores=scores,
+                        boxes=boxes,
+                        masks=bmasks,
+                        # explicit image id: evaluation aligns on this
+                        # instead of list position (robust against any
+                        # future skip/filter in the eval loop)
+                        img_id=dataset.img_ids[j],
                     )
 
     from ..parallel.multihost import collect_results_cpu
@@ -191,7 +200,9 @@ def _evaluate_panoptic(
     assert isthing[:num_things].all(), "bank must order things before stuff"
     all_bank = np.asarray(banks.all_bank)
 
-    forward = jax.jit(lambda p, x: model.apply({"params": p}, x))
+    forward = jax.jit(
+        lambda p, x: model.apply({"params": p}, x, only_last=True)
+    )
     n = len(dataset) if max_images is None else min(max_images, len(dataset))
     bs = int(cfg.get("eval_batch_size", 4))
     pid, pcount = jax.process_index(), jax.process_count()
