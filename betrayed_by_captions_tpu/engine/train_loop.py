@@ -153,7 +153,11 @@ def train(cfg: Config, work_dir: str, resume: bool = False):
     step_fn = make_train_step(
         model, crit, banks.train_bank, bert, mesh=mesh
     )
-    logger = MetricLogger(work_dir, interval=cfg.get("log_interval", 50))
+    logger = MetricLogger(
+        work_dir,
+        interval=cfg.get("log_interval", 50),
+        tensorboard=cfg.get("tensorboard", False),
+    )
     max_epochs = cfg.get("max_epochs", 12)
     global_step = start_epoch * len(loader)
     best_score = float("-inf")
@@ -170,7 +174,7 @@ def train(cfg: Config, work_dir: str, resume: bool = False):
                 logger.log_step(
                     global_step,
                     {k: v for k, v in metrics.items() if not k.startswith("d")},
-                    lr=float(schedule(global_step)),
+                    lr=schedule(global_step),  # lazy: logger syncs at flush
                 )
             save_checkpoint(
                 ckpt_dir, state, epoch + 1, cfg.get("max_keep_ckpts", 2)

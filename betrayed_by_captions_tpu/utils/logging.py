@@ -17,13 +17,30 @@ from typing import Dict, Optional
 
 
 class MetricLogger:
-    def __init__(self, work_dir: Optional[str] = None, interval: int = 50):
+    def __init__(
+        self,
+        work_dir: Optional[str] = None,
+        interval: int = 50,
+        tensorboard: bool = False,
+    ):
+        """``tensorboard=True`` additionally writes event files under
+        <work_dir>/tb (reference TensorboardLoggerHook,
+        configs/instance/coco_b48n17.py:302-307); requires tensorboardX
+        — degrades to JSONL-only with a warning when unavailable."""
         self.interval = interval
         self.work_dir = work_dir
         self._file = None
+        self._tb = None
         if work_dir:
             os.makedirs(work_dir, exist_ok=True)
             self._file = open(os.path.join(work_dir, "metrics.jsonl"), "a")
+            if tensorboard:
+                try:
+                    from tensorboardX import SummaryWriter
+
+                    self._tb = SummaryWriter(os.path.join(work_dir, "tb"))
+                except Exception as e:  # noqa: BLE001
+                    print(f"tensorboard logging unavailable ({e}); JSONL only")
         self._accum: Dict[str, object] = {}
         self._count = 0
         self._last_time = time.perf_counter()
@@ -51,6 +68,8 @@ class MetricLogger:
             return
         import jax
 
+        if lr is not None:
+            self._accum["lr"] = lr * self._count  # survives the averaging
         vals = jax.device_get(self._accum)  # single sync point
         sync_done = time.perf_counter()
         # the sync absorbs all queued device work for the interval, so
@@ -61,8 +80,6 @@ class MetricLogger:
         record["step"] = int(step)
         record["data_time"] = self._data_time / self._count
         record["time"] = (self._step_time + self._data_time) / self._count
-        if lr is not None:
-            record["lr"] = float(lr)
         short = ", ".join(
             f"{k}={v:.4f}"
             for k, v in record.items()
@@ -72,6 +89,10 @@ class MetricLogger:
         if self._file:
             self._file.write(json.dumps(record) + "\n")
             self._file.flush()
+        if self._tb is not None:
+            for k, v in record.items():
+                if k != "step":
+                    self._tb.add_scalar(f"train/{k}", v, int(step))
         self._accum = {}
         self._count = 0
         self._data_time = 0.0

@@ -6,3 +6,6 @@ max_keep_ckpts = 2
 seed = 0
 auto_scale_lr = True
 base_batch_size = 16  # LR reference batch (reference auto_scale_lr)
+# TensorBoard event files under <work_dir>/tb (reference
+# TensorboardLoggerHook); degrades to JSONL-only without tensorboardX
+tensorboard = True
