@@ -307,7 +307,12 @@ class Detector:
         if with_caption and self.bert is not None:
             if not hasattr(self, "_jit_search"):
                 self._jit_search = make_jit_beam_search(
-                    self.model, self.params, self.bert
+                    self.model,
+                    self.params,
+                    self.bert,
+                    # the caption decoder's positional table only covers
+                    # the model's max caption length
+                    max_len=getattr(self.model, "max_caption_len", 35),
                 )
             results["caption"] = generate_caption(
                 self.model,
