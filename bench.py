@@ -2,7 +2,7 @@
 
 Measures end-to-end per-image inference of the flagship Mask2Former-Open
 R50 (bf16 compute): backbone -> pixel decoder (6-layer windowed-deformable
-encoder, fused Pallas kernels, 6-cell sampling window — the TPU-first
+encoder, fused Pallas kernels, 4-cell sampling window — the TPU-first
 semantic documented in models/deformable.py) -> 9-layer masked-attention
 decoder -> mask upsample to the padded input -> open-vocabulary instance
 post-processing, at the reference's test resolution (1333x800 keep-ratio
@@ -70,7 +70,7 @@ def main():
         num_decoder_layers=9,
         use_caption_generation=False,
         attn_impl="windowed_pallas",
-        deform_window=6,
+        deform_window=4,
         dtype=jnp.bfloat16,
     )
     # random normalized-image-statistics input (see scope note above)

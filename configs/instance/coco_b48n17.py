@@ -22,10 +22,13 @@ model = dict(
     pred_emb_norm=False,
     vocab_size=30522,
     max_caption_len=35,
-    # TPU-first: 6-cell deformable sampling window (offsets clamped to
-    # +-2 cells; see models/deformable.py docstring), fused Pallas
-    # kernels with custom-VJP backward (25x the exact gather op's grads)
-    deform_window=6,
+    # TPU-first: 4-cell deformable sampling window (offsets clamped to
+    # +-1 cell; see models/deformable.py docstring), fused Pallas kernels
+    # with custom-VJP backward. Chosen on the window-study evidence
+    # (PERF.md round 4: W4 overfits the synthetic harness to the same
+    # mAP as W6/W8 at ~half the kernel cell count); deform_window=6/8
+    # remain supported for A/B runs.
+    deform_window=4,
     attn_impl="windowed_pallas",
     # rematerialize encoder layers in the backward pass: the 6-layer
     # deformable encoder's activations dominate training HBM at 1024^2

@@ -18,9 +18,9 @@ model = dict(
     num_decoder_layers=9,
     use_class_emb=True,
     use_caption_generation=True,
-    # TPU-first: 6-cell deformable sampling window (models/deformable.py),
-    # fused Pallas kernels with custom-VJP backward
-    deform_window=6,
+    # TPU-first: 4-cell deformable sampling window chosen on the
+    # window-study evidence (PERF.md round 4); see models/deformable.py
+    deform_window=4,
     attn_impl="windowed_pallas",
     remat=True,  # see coco_b48n17.py
 )

@@ -20,13 +20,59 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def verify_assets(out_dir: str, expect_sha: str = None) -> str:
+    """Reload the exported files through the runtime loaders and verify
+    their structure; returns the sha256 of bert.npz's embedding bytes.
+
+    Record the printed sha next to the export (e.g. in the run log or a
+    checksum file); any future re-export or copy can then be checked with
+    ``--verify --expect-sha <sha>``.
+    """
+    import hashlib
+
+    import numpy as np
+
+    from betrayed_by_captions_tpu.data.tokenizer import load_tokenizer
+    from betrayed_by_captions_tpu.models.bert import load_bert_assets
+
+    assets = load_bert_assets(os.path.join(out_dir, "bert.npz"))
+    vocab_path = os.path.join(out_dir, "bert_vocab.txt")
+    tok = load_tokenizer(vocab_path)
+    n_vocab = len(open(vocab_path, encoding="utf-8").read().splitlines())
+    emb = np.ascontiguousarray(assets.word_embeddings)
+    assert emb.shape[0] == n_vocab, (emb.shape, n_vocab)
+    assert assets.ln_scale.shape == (emb.shape[1],)
+    assert assets.ln_bias.shape == (emb.shape[1],)
+    # tokenizer round-trip through special tokens
+    ids, mask = tok.encode("a test sentence")
+    assert len(ids) > 0 and sum(mask) > 0
+    sha = hashlib.sha256(emb.tobytes()).hexdigest()
+    print(f"verified: emb {emb.shape}, vocab {n_vocab}, sha256 {sha}")
+    if expect_sha and sha != expect_sha:
+        raise SystemExit(
+            f"sha mismatch: expected {expect_sha}, got {sha}"
+        )
+    return sha
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--out-dir", default="betrayed_by_captions_tpu/assets"
     )
     parser.add_argument("--model", default="bert-base-uncased")
+    parser.add_argument(
+        "--verify", action="store_true",
+        help="reload through the runtime loaders and print the sha256",
+    )
+    parser.add_argument("--expect-sha", default=None)
     args = parser.parse_args()
+
+    if args.verify and os.path.exists(
+        os.path.join(args.out_dir, "bert.npz")
+    ):
+        verify_assets(args.out_dir, args.expect_sha)
+        return
 
     import numpy as np
     from transformers import BertModel, BertTokenizer

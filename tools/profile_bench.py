@@ -3,7 +3,7 @@
 Breaks bench.py's 'full_inference' into stages and times each jitted in
 isolation (backbone / pixel decoder / deformable-attn op / transformer
 decoder / mask upsample / post-processing), so perf work targets the real
-bottleneck. Defaults mirror bench.py (windowed Pallas kernel, window 6,
+bottleneck. Defaults mirror bench.py (windowed Pallas kernel, window 4,
 bf16). Writes findings to stdout; PERF.md summarizes.
 """
 
@@ -38,7 +38,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--impl", default="windowed_pallas",
                     choices=["exact", "windowed", "windowed_pallas"])
-    ap.add_argument("--window", type=int, default=6)
+    ap.add_argument("--window", type=int, default=4)
     ap.add_argument("--variant", default="merged",
                     choices=["cell", "packed", "merged"])
     ap.add_argument("--batch", type=int, default=8)

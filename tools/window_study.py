@@ -42,7 +42,8 @@ def run_one(window, args, paths):
         tag = f"W{window}-{args.attn_impl}"
 
     cfg = tiny_overfit_config(
-        paths, epochs=args.epochs, lr=args.lr, **model_kw
+        paths, hw=(args.hw, args.hw), epochs=args.epochs, lr=args.lr,
+        **model_kw
     )
     cfg.data.samples_per_device = max(
         1, 8 // jax.device_count()
@@ -94,12 +95,16 @@ def main():
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--attn-impl", default="windowed_pallas")
     ap.add_argument("--out", default="work_dirs/window_study")
+    # 128^2 default: at 64^2 the encoder levels are (2,2)/(4,4)/(8,8) and
+    # every window covers nearly the whole level, which would trivially
+    # hide window-size effects
+    ap.add_argument("--hw", type=int, default=128)
     args = ap.parse_args()
 
     from betrayed_by_captions_tpu.data.synthetic import write_synthetic_coco
 
     paths = write_synthetic_coco(
-        os.path.join(args.out, "data"), n_images=8, hw=(64, 64),
+        os.path.join(args.out, "data"), n_images=8, hw=(args.hw, args.hw),
         n_classes=2, emb_dim=16, shapes_per_image=2,
     )
 
