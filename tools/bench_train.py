@@ -33,6 +33,7 @@ def main():
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--hw", type=int, nargs=2, default=(1024, 1024))
     ap.add_argument("--impl", default="windowed_pallas")
+    ap.add_argument("--window", type=int, default=4)
     ap.add_argument("--no-remat", action="store_true")
     ap.add_argument(
         "--gt-downsample", type=int, default=1,
@@ -76,7 +77,7 @@ def main():
         num_decoder_layers=9,
         use_caption_generation=True,
         attn_impl=args.impl,
-        deform_window=6,
+        deform_window=args.window,
         remat=not args.no_remat,
         dtype=jnp.bfloat16,
     )
