@@ -35,7 +35,8 @@ class OptimizerConfig:
     backbone_lr_mult: float = 0.1
     embed_decay_mult: float = 0.0
     norm_decay_mult: float = 0.0
-    frozen_backbone_stages: int = 3  # stem + layer1..N get zero lr
+    # mmdet convention: -1 none, 0 stem only, N stem + layer1..N zero-lr
+    frozen_backbone_stages: int = 3
     warmup_iters: int = 10
     warmup_ratio: float = 1.0
     lr_steps: Tuple[int, ...] = (70000, 80000)
@@ -66,8 +67,12 @@ def _is_frozen(names: Sequence[str], cfg: OptimizerConfig) -> bool:
         if names[-1] in ("scale", "bias"):
             return True
     if "backbone" in names:
-        # stem + layer1..frozen_stages are frozen (reference frozen_stages=3)
-        if any(n.startswith("stem_") for n in names):
+        # mmdet convention: -1 trains everything, >=0 freezes the stem,
+        # N freezes stem + layer1..N (reference finetune configs use 3,
+        # ag_pretrain uses -1)
+        if cfg.frozen_backbone_stages >= 0 and any(
+            n.startswith("stem_") for n in names
+        ):
             return True
         for n in names:
             if n.startswith("layer") and "_block" in n:
@@ -124,7 +129,16 @@ def build_optimizer(params, cfg: OptimizerConfig = OptimizerConfig()):
             ),
         )
 
+    labels = label_params(params, cfg)
+    frozen_mask = jax.tree_util.tree_map(lambda l: l == "frozen", labels)
     tx = optax.chain(
+        # zero frozen grads BEFORE the global-norm clip: the reference's
+        # requires_grad=False params contribute nothing to the clip norm
+        # (torch clip_grad_norm_ only sees grads that exist). Backbone
+        # stages are already structurally zero via stop_gradient
+        # (models/resnet.py); this also covers frozen-BN affine params
+        # inside trainable stages.
+        optax.masked(optax.set_to_zero(), frozen_mask),
         optax.clip_by_global_norm(cfg.grad_clip),
         optax.multi_transform(
             {
@@ -134,7 +148,7 @@ def build_optimizer(params, cfg: OptimizerConfig = OptimizerConfig()):
                 "norm": adamw(1.0, cfg.norm_decay_mult),
                 "frozen": optax.set_to_zero(),
             },
-            label_params(params, cfg),
+            labels,
         ),
     )
     return tx, schedule

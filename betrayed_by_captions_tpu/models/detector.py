@@ -33,6 +33,10 @@ class Mask2FormerOpen(nn.Module):
     emb_dim: int = 768
     num_decoder_layers: int = 9
     backbone_depth: int = 50
+    # mmdet-style backbone freeze (-1 none, 0 stem, N stem+layer1..N);
+    # enforced structurally with stop_gradient (models/resnet.py) AND by
+    # the optimizer mask (engine/optim.py)
+    frozen_backbone_stages: int = -1
     use_class_emb: bool = True
     use_caption_generation: bool = True
     pred_emb_norm: bool = False
@@ -51,7 +55,10 @@ class Mask2FormerOpen(nn.Module):
 
     def setup(self):
         self.backbone = ResNet(
-            depth=self.backbone_depth, dtype=self.dtype, name="backbone"
+            depth=self.backbone_depth,
+            frozen_stages=self.frozen_backbone_stages,
+            dtype=self.dtype,
+            name="backbone",
         )
         self.head = Mask2FormerHeadOpen(
             num_classes=self.num_classes,
@@ -129,6 +136,7 @@ def build_detector(model_cfg: Config, dtype=jnp.float32) -> Mask2FormerOpen:
         emb_dim=model_cfg.get("emb_dim", 768),
         num_decoder_layers=model_cfg.get("num_decoder_layers", 9),
         backbone_depth=model_cfg.get("backbone_depth", 50),
+        frozen_backbone_stages=model_cfg.get("frozen_backbone_stages", -1),
         use_class_emb=model_cfg.get("use_class_emb", True),
         use_caption_generation=model_cfg.get("use_caption_generation", True),
         pred_emb_norm=model_cfg.get("pred_emb_norm", False),

@@ -77,6 +77,10 @@ def _pair_kernel(
     phase_rows: int,  # rows per phase copy ('finer' mode)
 ):
     w = window
+    cellmap = {
+        (r, c): (ph, ro, co)
+        for (r, c, ph, ro, co) in _cell_table(mode, k, window)
+    }
 
     def row_block(ib, _):
         i = ib * rb
@@ -93,30 +97,27 @@ def _pair_kernel(
                 cw = jnp.sum(wy * tx, axis=1, keepdims=True).astype(
                     jnp.bfloat16
                 )  # (rb, 1, WPAD)
-                if mode == "same":
-                    row0 = i + r + 1
-                    col0 = c + 1
-                    slab = v_ref[0, 0, pl.ds(row0, rb), :, col0 : col0 + wpad]
-                elif mode == "coarser":
-                    row0 = i + k * (r + 1) - k // 2
-                    col0 = k * (c + 1) - k // 2
-                    slab = v_ref[0, 0, pl.ds(row0, rb), :, col0 : col0 + wpad]
-                else:  # finer: narrow phase-copy read, zero-pad to wpad
-                    mr = (k - 1) // 2 + r + 1
-                    mc = (k - 1) // 2 + c + 1
-                    phase = (mr % k) * k + (mc % k)
-                    row0 = phase * phase_rows + i + mr // k
-                    col0 = mc // k
+                phase, row_off, col0 = cellmap[(r, c)]
+                row0 = phase * phase_rows + i + row_off
+                if mode == "finer":
+                    # narrow phase-copy read, zero-pad to wpad
                     narrow = v_ref.shape[-1] - col0
-                    slab = jnp.concatenate(
-                        [
-                            v_ref[0, 0, pl.ds(row0, rb), :, col0:],
-                            jnp.zeros(
-                                (rb, d, wpad - narrow), jnp.bfloat16
-                            ),
-                        ],
-                        axis=2,
-                    )
+                    if narrow >= wpad:
+                        slab = v_ref[
+                            0, 0, pl.ds(row0, rb), :, col0 : col0 + wpad
+                        ]
+                    else:
+                        slab = jnp.concatenate(
+                            [
+                                v_ref[0, 0, pl.ds(row0, rb), :, col0:],
+                                jnp.zeros(
+                                    (rb, d, wpad - narrow), jnp.bfloat16
+                                ),
+                            ],
+                            axis=2,
+                        )
+                else:
+                    slab = v_ref[0, 0, pl.ds(row0, rb), :, col0 : col0 + wpad]
                 racc = racc + cw * slab
             acc = acc + racc.astype(jnp.float32)
         o_ref[0, 0, pl.ds(i, rb)] = acc.astype(jnp.bfloat16)
@@ -154,6 +155,10 @@ def _pair_kernel_packed(
       slab loads ('finer' mode keeps per-cell phase reads).
     """
     w = window
+    cellmap = {
+        (r, c): (ph, ro, co)
+        for (r, c, ph, ro, co) in _cell_table(mode, k, window)
+    }
 
     def row_block(ib, _):
         i = ib * rb
@@ -196,20 +201,10 @@ def _pair_kernel_packed(
                 racc = jnp.zeros((rb, d, wpad), jnp.bfloat16)
                 if mode == "finer":
                     for r in range(w):
-                        mr = (k - 1) // 2 + r + 1
-                        mc = (k - 1) // 2 + c + 1
-                        phase = (mr % k) * k + (mc % k)
-                        row0 = phase * phase_rows + i + mr // k
-                        fcol0 = mc // k
-                        narrow = v_ref.shape[-1] - fcol0
-                        slab = jnp.concatenate(
-                            [
-                                v_ref[0, h, pl.ds(row0, rb), :, fcol0:],
-                                jnp.zeros(
-                                    (rb, d, wpad - narrow), jnp.bfloat16
-                                ),
-                            ],
-                            axis=2,
+                        phase, row_off, fcol0 = cellmap[(r, c)]
+                        row0 = phase * phase_rows + i + row_off
+                        slab = _finer_slab(
+                            v_ref, 0, h, row0, rb, d, fcol0, wpad
                         )
                         racc = racc + cws[r][h] * slab
                 else:
@@ -228,6 +223,21 @@ def _pair_kernel_packed(
         return 0
 
     jax.lax.fori_loop(0, ha // rb, row_block, 0)
+
+
+def _finer_slab(v_ref, bi, h, row0, rb, d, col0, wpad):
+    """Narrow finer-mode phase read, zero-padded to wpad lanes in
+    registers (full-wpad phase copies waste up to 4x VMEM)."""
+    narrow = v_ref.shape[-1] - col0
+    if narrow >= wpad:
+        return v_ref[bi, h, pl.ds(row0, rb), :, col0 : col0 + wpad]
+    return jnp.concatenate(
+        [
+            v_ref[bi, h, pl.ds(row0, rb), :, col0:],
+            jnp.zeros((rb, d, wpad - narrow), jnp.bfloat16),
+        ],
+        axis=2,
+    )
 
 
 def _merged_kernel_packed(
@@ -258,11 +268,20 @@ def _merged_kernel_packed(
     o_ref = refs[4 * nl]
     w = window
 
+    cellmaps = [
+        {
+            (r, c): (ph, ro, co)
+            for (r, c, ph, ro, co) in _cell_table(mode, k, window)
+        }
+        for (mode, k, phase_rows) in level_cfgs
+    ]
+
     def row_block(ib, _):
         i = ib * rb
         accs = [jnp.zeros((rb, d, wpad), jnp.float32) for _ in range(hp)]
         for li, (mode, k, phase_rows) in enumerate(level_cfgs):
             v_ref = v_refs[li]
+            cellmap = cellmaps[li]
             fx = fx_refs[li][0, 0, pl.ds(i, rb)]  # (rb, HP*P, WPAD) f32
             fy = fy_refs[li][0, 0, pl.ds(i, rb)]
             at = at_refs[li][0, 0, pl.ds(i, rb)].astype(jnp.float32)
@@ -301,20 +320,10 @@ def _merged_kernel_packed(
                     racc = jnp.zeros((rb, d, wpad), jnp.bfloat16)
                     if mode == "finer":
                         for r in range(w):
-                            mr = (k - 1) // 2 + r + 1
-                            mc = (k - 1) // 2 + c + 1
-                            phase = (mr % k) * k + (mc % k)
-                            row0 = phase * phase_rows + i + mr // k
-                            fcol0 = mc // k
-                            narrow = v_ref.shape[-1] - fcol0
-                            slab = jnp.concatenate(
-                                [
-                                    v_ref[0, h, pl.ds(row0, rb), :, fcol0:],
-                                    jnp.zeros(
-                                        (rb, d, wpad - narrow), jnp.bfloat16
-                                    ),
-                                ],
-                                axis=2,
+                            phase, row_off, fcol0 = cellmap[(r, c)]
+                            row0 = phase * phase_rows + i + row_off
+                            slab = _finer_slab(
+                                v_ref, 0, h, row0, rb, d, fcol0, wpad
                             )
                             racc = racc + cws[r][h] * slab
                     else:
@@ -437,12 +446,36 @@ def _make_level_fn(cfg):
     return level_fn
 
 
+def _finer_margin(k: int, window: int) -> int:
+    """Top/left zero margin (rows/cols, per phase block) of the finer-mode
+    prep layout: the smallest ``floor((m - pad) / k)`` over the window's
+    sample offsets ``m`` is how far below 0 a phase-row index can reach."""
+    pad = window // 2
+    lo = min(
+        ((k - 1) // 2 + r + 1 - pad) // k for r in range(window)
+    )
+    return max(0, -lo)
+
+
+def _finer_max_off(k: int, window: int) -> int:
+    pad = window // 2
+    return max(((k - 1) // 2 + r + 1 - pad) // k for r in range(window))
+
+
 def _cell_table(mode: str, k: int, window: int):
     """Static per-cell (r, c) -> (phase_block, row_off, col_off) mapping
     shared by the forward and backward kernels: the forward slab of cell
     (r, c) for query row i lives at prep rows
     ``phase_block * phase_rows + i + row_off`` and prep columns
-    ``[col_off, col_off + wpad)``."""
+    ``[col_off, col_off + wpad)``.
+
+    Finer mode indexes the decompose-then-pad layout built by
+    :func:`_prep_value_pair`: phase block ``pr * k + pc`` holds
+    ``vimg[k*R + pr, k*C + pc]`` at (margin + R, margin + C), so the
+    sample at vimg row ``k*i + m - pad`` lives in phase ``(m - pad) % k``
+    at row ``margin + i + floor((m - pad) / k)``."""
+    pad = window // 2
+    mt = _finer_margin(k, window)
     cells = []
     for r in range(window):
         for c in range(window):
@@ -455,8 +488,16 @@ def _cell_table(mode: str, k: int, window: int):
             else:  # finer
                 mr = (k - 1) // 2 + r + 1
                 mc = (k - 1) // 2 + c + 1
+                pr = (mr - pad) % k
+                pc = (mc - pad) % k
                 cells.append(
-                    (r, c, (mr % k) * k + (mc % k), mr // k, mc // k)
+                    (
+                        r,
+                        c,
+                        pr * k + pc,
+                        mt + (mr - pad - pr) // k,
+                        mt + (mc - pad - pc) // k,
+                    )
                 )
     return cells
 
@@ -503,13 +544,8 @@ def _bwd_query_kernel(
                 dtx = jnp.where(jnp.abs(dx) < 1.0, -jnp.sign(dx), 0.0)
                 row0 = phase * phase_rows + i + row_off
                 if mode == "finer":
-                    narrow = v_ref.shape[-1] - col0
-                    slab = jnp.concatenate(
-                        [
-                            v_ref[0, 0, pl.ds(row0, rb), :, col0:],
-                            jnp.zeros((rb, d, wpad - narrow), v_ref.dtype),
-                        ],
-                        axis=2,
+                    slab = _finer_slab(
+                        v_ref, 0, 0, row0, rb, d, col0, wpad
                     ).astype(jnp.float32)
                 else:
                     slab = v_ref[
@@ -811,40 +847,50 @@ def _prep_value_pair(
                 (pad, cols_small - pad - wb),
             ),
         )
-        prep = jnp.repeat(jnp.repeat(vp_small, k, axis=2), k, axis=4)
+        # k x k upsample as ONE broadcast+reshape pass (two chained
+        # jnp.repeat calls materialized the full-size image twice,
+        # ~38 ms/iter across the encoder in the round-5 trace)
+        bs, hs, rs, ds, cs = vp_small.shape
+        prep = jnp.broadcast_to(
+            vp_small[:, :, :, None, :, :, None],
+            (bs, hs, rs, k, ds, cs, k),
+        ).reshape(bs, hs, rs * k, ds, cs * k)
         return prep, "coarser", k, 0
 
-    # value finer by k: k x k phase decomposition in ONE space-to-depth
-    # pass. Strided lane slices lower as gathers on TPU (measured 7.5
-    # ms/layer, round-3 trace) and the pad + k^2 slices + concat pipeline
-    # cost several full-size relayout passes (round-4 trace); instead,
-    # pad to k-multiples and reshape/transpose so every phase
-    # vp[pr::k, pc::k] lands as one contiguous row block.
+    # value finer by k: k x k phase decomposition, decompose-then-pad.
+    # Strided lane slices lower as gathers on TPU (measured 7.5 ms/layer,
+    # round-3 trace), so phases must land as contiguous row blocks; the
+    # earlier pad-then-decompose ordering paid a FULL-SIZE pad pass in a
+    # pathological {d-minor} layout (~1.8 ms each, round-5 trace) before
+    # the space-to-depth transpose. Here the reshape/transpose runs on
+    # the raw image (its dims are exact k-multiples of the query grid by
+    # construction) and the window margins are padded afterwards in
+    # phase space, where XLA fuses the pad into the transpose's output
+    # write. Lanes hold only the real decimated width (~wa) plus the
+    # shift margin; the kernels read this narrow slab and zero-pad it to
+    # wpad in registers — full-wpad phase copies waste up to 4x VMEM and
+    # OOM the backward kernels.
     k = hb // ha
     assert k * ha == hb and k * wa == wb, (ha, wa, hb, wb)
     b_, h_, _, d_, _ = vimg.shape
-    # in-kernel row index reaches i + (m // k) <= (ha_pad-1) + m_max//k + 1;
-    # lanes hold only the real decimated width (~wa) plus the shift
-    # margin; the kernels read this narrow slab and zero-pad it to wpad
-    # in registers — full-wpad phase copies waste up to 4x VMEM and OOM
-    # the backward kernels
-    m_max = (k - 1) // 2 + w
-    phase_rows = max(ha_pad + m_max // k + 1, (hb + 2 * pad + k - 1) // k)
-    phase_cols = wa + m_max // k + 2
-    rows_t = k * phase_rows
-    cols_t = k * phase_cols
-    vp = jnp.pad(
-        vimg,
+    mt = _finer_margin(k, w)
+    moff = _finer_max_off(k, w)
+    phase_rows = mt + ha_pad + moff + 1
+    phase_cols = mt + wa + moff + 2
+    ph = vimg.reshape(b_, h_, ha, k, d_, wa, k)
+    ph = jnp.transpose(ph, (0, 1, 3, 6, 2, 4, 5))  # (B,H,kr,kc,R,D,C)
+    ph = jnp.pad(
+        ph,
         (
             (0, 0),
             (0, 0),
-            (pad, rows_t - pad - hb),
             (0, 0),
-            (pad, cols_t - pad - wb),
+            (0, 0),
+            (mt, phase_rows - mt - ha),
+            (0, 0),
+            (mt, phase_cols - mt - wa),
         ),
     )
-    ph = vp.reshape(b_, h_, phase_rows, k, d_, phase_cols, k)
-    ph = jnp.transpose(ph, (0, 1, 3, 6, 2, 4, 5))  # (B,H,kr,kc,R,D,C)
     prep = ph.reshape(b_, h_, k * k * phase_rows, d_, phase_cols)
     return prep, "finer", k, phase_rows
 

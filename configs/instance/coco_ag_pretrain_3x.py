@@ -2,7 +2,14 @@
 # (reference configs/instance/coco_ag_pretrain_3x.py).
 _base_ = ["coco_b48n17.py"]
 
-model = dict(use_class_emb=True, use_caption_generation=True)
+model = dict(
+    use_class_emb=True,
+    use_caption_generation=True,
+    # stage 1 trains the full backbone (reference frozen_stages=-1)
+    frozen_backbone_stages=-1,
+)
+
+optimizer = dict(frozen_backbone_stages=-1)
 
 criterion = dict(
     class_agnostic=True,

@@ -17,6 +17,9 @@ model = dict(
     emb_dim=768,
     num_decoder_layers=9,
     backbone_depth=50,
+    # stem + layer1..3 frozen (reference frozen_stages=3); enforced with
+    # stop_gradient in the backbone AND a zero-lr optimizer mask
+    frozen_backbone_stages=3,
     use_class_emb=True,
     use_caption_generation=True,
     pred_emb_norm=False,

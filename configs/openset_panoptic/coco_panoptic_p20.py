@@ -16,6 +16,9 @@ model = dict(
     feat_channels=256,
     emb_dim=768,
     num_decoder_layers=9,
+    # stem + layer1..3 frozen (reference frozen_stages=3); stop_gradient
+    # + zero-lr mask (see coco_b48n17.py)
+    frozen_backbone_stages=3,
     use_class_emb=True,
     use_caption_generation=True,
     # TPU-first: 4-cell deformable sampling window chosen on the

@@ -75,6 +75,9 @@ def main():
         feat_channels=256,
         emb_dim=768,
         num_decoder_layers=9,
+        # flagship finetune freezes stem+layer1..3 (stop_gradient saves
+        # their backward activations; reference frozen_stages=3)
+        frozen_backbone_stages=3,
         use_caption_generation=True,
         attn_impl=args.impl,
         deform_window=args.window,
