@@ -100,15 +100,23 @@ def main():
             masks_binary.sum(axis=(1, 2, 3)),
         )
 
-    # warmup / compile
+    # warmup / compile; completion is forced by FETCHING a scalar — via
+    # the axon tunnel block_until_ready can return before the chip
+    # finishes (PERF.md measurement gotchas)
     for _ in range(WARMUP):
         r = full_inference(params, images)
-        jax.block_until_ready(r)
+        float(r[1][0, 0])
 
+    # dispatch all iterations, then force once at the end: a
+    # per-iteration sync pays one host<->device round trip per batch
+    # (~30 ms via the axon tunnel = ~2 ms/img of pure artifact); the
+    # device serializes the calls, so fetching a scalar from EVERY
+    # iteration's output after the loop (first fetch waits for the
+    # chain) measures actual chip throughput
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        r = full_inference(params, images)
-        jax.block_until_ready(r)
+    results = [full_inference(params, images) for _ in range(ITERS)]
+    fetched = [float(r[1][0, 0]) for r in results]
+    assert len(fetched) == ITERS
     dt = time.perf_counter() - t0
 
     ips = BATCH * ITERS / dt

@@ -199,7 +199,7 @@ def tiny_overfit_config(
                 lr=lr,
                 grad_clip=1.0,
                 backbone_lr_mult=1.0,
-                frozen_backbone_stages=0,
+                frozen_backbone_stages=-1,  # mmdet convention: -1 = none
                 warmup_iters=5,
                 warmup_ratio=0.1,
                 lr_steps=(100000,),

@@ -127,7 +127,15 @@ def _chunked(fn, masks, points_xy, p_axis: int):
         p_axis,
         0,
     )  # (k, ..., CHUNK, ..., 2)
-    out = jax.lax.map(lambda pts: fn(masks, pts), split)  # (k, N, CHUNK)
+    # remat the chunk body: without it the lax.map (scan) VJP stacks the
+    # per-chunk (N, CHUNK, W) einsum residuals across ALL chunks — two
+    # bf16[k, N, CHUNK, W] buffers (2 x 5.47 GB at the batch-8 flagship
+    # training shape) that OOM the step. Points carry no gradient (coords
+    # come from stop_gradient'd logits), so the backward only recomputes
+    # the cheap tent weights per chunk; d_masks is the same matmuls it
+    # would run anyway.
+    ckpt_fn = jax.checkpoint(fn)
+    out = jax.lax.map(lambda pts: ckpt_fn(masks, pts), split)  # (k, N, CHUNK)
     out = jnp.moveaxis(out, 0, 1).reshape(masks.shape[0], k * _CHUNK)
     return out[:, :p]
 

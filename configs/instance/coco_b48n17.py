@@ -54,12 +54,14 @@ criterion = dict(
     use_class_emb=True,
     use_caption=True,
     use_caption_generation=True,
-    # reference-exact full-res GT point sampling (mask2former_head.py:
-    # 609-613). Opt-in speed knob: gt_point_downsample=4 samples GT at
-    # the mask-logit stride (~2.2 s/step cheaper at batch-4 1024^2) but
-    # softens targets at instance boundaries and can drop 1-2px-thin
-    # structures; keep 1 until an accuracy A/B shows k=4 is neutral.
-    gt_point_downsample=1,
+    # GT point targets sampled from an exact bilinear 4x downsample of
+    # the GT masks (the mask-logit stride) instead of the reference's
+    # full-res sampling (mask2former_head.py:609-613): the k=1 einsums
+    # contract over H=1024 and alone cost ~3 s/step at batch-8 1024^2.
+    # Accuracy A/B (tools/gtds_study.py, PERF.md round-5 table): k=4
+    # overfit segm mAP 0.942 vs k=1 0.895 — neutral within run noise.
+    # Set 1 for reference-parity runs.
+    gt_point_downsample=4,
 )
 
 optimizer = dict(

@@ -42,9 +42,10 @@ criterion = dict(
     use_class_emb=True,
     use_caption=True,
     use_caption_generation=True,
-    # reference-exact full-res GT point sampling; gt_point_downsample=4
-    # is the documented speed opt-in (see configs/instance/coco_b48n17.py)
-    gt_point_downsample=1,
+    # GT point targets at the mask-logit stride; accuracy-neutral per
+    # the tools/gtds_study.py A/B (see configs/instance/coco_b48n17.py);
+    # set 1 for reference-parity runs
+    gt_point_downsample=4,
 )
 
 optimizer = dict(

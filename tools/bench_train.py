@@ -36,10 +36,16 @@ def main():
     ap.add_argument("--window", type=int, default=4)
     ap.add_argument("--no-remat", action="store_true")
     ap.add_argument(
-        "--gt-downsample", type=int, default=1,
-        help="CriterionConfig.gt_point_downsample (1 = reference-exact "
-        "full-res GT point sampling, the shipped-config default; 4 = "
-        "the documented speed opt-in)",
+        "--gt-downsample", type=int, default=4,
+        help="CriterionConfig.gt_point_downsample (4 = GT targets at the "
+        "mask-logit stride, the shipped-config default — accuracy-neutral "
+        "per tools/gtds_study.py; 1 = reference-exact full-res sampling)",
+    )
+    ap.add_argument(
+        "--trace",
+        default=None,
+        help="also capture a device trace of one step to this directory "
+        "(summarize with tools/parse_trace.py <dir> --iters 1)",
     )
     args = ap.parse_args()
 
@@ -123,21 +129,31 @@ def main():
     )
 
     key = jax.random.PRNGKey(1)
+    # force completion by FETCHING a scalar, not block_until_ready: via
+    # the axon tunnel block_until_ready can return before the chip
+    # finishes (PERF.md measurement gotchas; a batch-8 step once "timed"
+    # at 34 ms/step with block-only)
     state, metrics = step(state, batch, key)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     for _ in range(2):
         state, metrics = step(state, batch, key)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
+
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            state, metrics = step(state, batch, key)
+            jax.block_until_ready(metrics["loss"])
+        print(f"trace written to {args.trace}")
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
         state, metrics = step(state, batch, key)
-    jax.block_until_ready(metrics["loss"])
+    loss = float(metrics["loss"])  # forces the whole step chain
     dt = (time.perf_counter() - t0) / args.iters
     print(
         f"train step: {dt * 1000:.1f} ms/step, "
         f"{b / dt:.2f} img/s/chip (batch {b}, {hw[0]}x{hw[1]}), "
-        f"loss={float(metrics['loss']):.2f}"
+        f"loss={loss:.2f}"
     )
 
 
