@@ -26,11 +26,14 @@ Prints exactly ONE JSON line.
 """
 
 import json
+import os
 import time
 
 A100_BASELINE_IPS = 19.4  # est.: mmdet Mask2Former-R50 V100 ~9.7 fps x2
 
-BATCH = 16  # throughput-optimal on v5e-1 (27.6 img/s vs 26.0 at batch 8)
+# throughput-optimal on v5e-1 (27.6 img/s vs 26.0 at batch 8);
+# BENCH_BATCH overrides for sweeps (tools/, PERF.md)
+BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 HW = (800, 1344)
 WARMUP = 3
 ITERS = 8

@@ -25,6 +25,14 @@ def main():
     parser.add_argument("--verify-config", default=None)
     args = parser.parse_args()
 
+    # porting is pure host work: force the CPU backend FIRST so the tool
+    # never touches (or hangs on) the TPU tunnel. Must go through the
+    # config API — the axon sitecustomize pre-imports jax, so env vars
+    # are ignored.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
     import numpy as np
     import torch
 
@@ -39,7 +47,6 @@ def main():
     converted = convert_reference_state_dict(state_dict)
 
     if args.verify_config:
-        import jax
         import jax.numpy as jnp
 
         from betrayed_by_captions_tpu.config import Config

@@ -99,7 +99,18 @@ def main():
     # every window covers nearly the whole level, which would trivially
     # hide window-size effects
     ap.add_argument("--hw", type=int, default=128)
+    ap.add_argument(
+        "--cpu",
+        action="store_true",
+        help="force the CPU backend (must be set via the config API: the "
+        "axon sitecustomize pre-imports jax, so JAX_PLATFORMS is ignored)",
+    )
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from betrayed_by_captions_tpu.data.synthetic import write_synthetic_coco
 
