@@ -9,10 +9,24 @@ fused VPU kernel per (query-level, value-level) pair:
   ``(B, H, rows, D, lanes)`` in VMEM; a window cell (r, c) is a pure
   static slice of it — row shift via the leading (untiled) dim, column
   shift via a static lane-offset slice. No gathers, no rolls.
-- cross-level alignment (query level a sampling value level b) is
-  precomputed OUTSIDE the kernel with dense XLA ops: ``jnp.repeat``
-  up-sampling when the value level is coarser, k-phase decimation when it
-  is finer — so in-kernel cell slabs stay static slices.
+- cross-level alignment (query level a sampling value level b) — the
+  merged (default) kernel builds ALL aligned value images on-chip from
+  the raw per-level images, so XLA never materializes a padded /
+  upsampled / phase-decomposed copy in HBM (those pads, broadcasts and
+  the custom-call layout copies around them dominated the round-5
+  encoder trace at ~2x the kernel time):
+  - 'same_raw': the window-padded image is built in VMEM scratch — lanes
+    shift via one MXU matmul against an iota-built 0/1 shift matrix
+    (zero lane margins fall out of the matmul), row margins are explicit
+    zero stores.
+  - 'coarser_small': lanes expand k x via a 0/1 repeat matrix on the
+    MXU; rows stay small and the cell loop repeats them with a static
+    pattern (exact because the row-block size is a multiple of k).
+  - 'finer_raw': k COLUMN-phase images are built via 0/1
+    decimation+shift matrices; rows stay raw and the cell loop strides
+    them by k with static single-row slices.
+  The single-pair 'cell'/'packed' variants (and DEFORM_COMPACT=0) keep
+  the classic XLA-materialized preps ('same'/'coarser'/'finer' modes).
 - per-cell weights are dense tent products summed over the P sampling
   points; multiplies run in bf16 (the value is cast to bf16 by design),
   accumulation is f32 per row-shift.
@@ -268,13 +282,90 @@ def _merged_kernel_packed(
     o_ref = refs[4 * nl]
     w = window
 
+    # compact levels get VMEM scratch holding the expanded / padded /
+    # phase-decimated image(s); scratch refs follow the output ref in
+    # order ('finer_raw' takes k slots, one per column phase)
+    scr_idx = {}
+    n_scr = 0
+    for li, cfg in enumerate(level_cfgs):
+        if cfg[0] in ("coarser_small", "same_raw"):
+            scr_idx[li] = n_scr
+            n_scr += 1
+        elif cfg[0] == "finer_raw":
+            scr_idx[li] = n_scr
+            n_scr += cfg[1]
+    scr_refs = refs[4 * nl + 1 : 4 * nl + 1 + n_scr]
+
     cellmaps = [
         {
             (r, c): (ph, ro, co)
-            for (r, c, ph, ro, co) in _cell_table(mode, k, window)
+            for (r, c, ph, ro, co) in _cell_table(
+                "same" if mode == "same_raw" else mode, k, window
+            )
         }
+        if mode in ("same", "same_raw", "coarser", "finer")
+        else None
         for (mode, k, phase_rows) in level_cfgs
     ]
+
+    # Per grid step, build the padded/expanded value images ONCE in VMEM
+    # on the MXU; XLA never materializes them in HBM (the pads, upsample
+    # broadcasts and custom-call layout copies around them dominated the
+    # round-5 encoder trace):
+    # - coarser_small: lanes expand by k via a 0/1 repeat matrix
+    #   (big[s, :, c] = small[s, :, c // k]); rows stay small — the cell
+    #   loop repeats them with a static pattern.
+    # - same_raw: lanes shift right by the window margin via a 0/1 shift
+    #   matrix (zero lane margins fall out of the matmul); row margins
+    #   are explicit zero stores (row offsets are untiled, so the image
+    #   body stores at its offset for free).
+    pad_w = window // 2
+    for li, (mode, k, phase_rows) in enumerate(level_cfgs):
+        if mode not in ("coarser_small", "same_raw", "finer_raw"):
+            continue
+        v_ref = v_refs[li]
+        rows_s, cols_s = v_ref.shape[2], v_ref.shape[4]
+        n_phase = k if mode == "finer_raw" else 1
+        mt = _finer_margin(k, w) if mode == "finer_raw" else 0
+        mt_r = (
+            max(0, pad_w - 1 - (k - 1) // 2) if mode == "finer_raw" else pad_w
+        )
+        for pc in range(n_phase):
+            scr = scr_refs[scr_idx[li] + pc]
+            rows_scr, cols_scr = scr.shape[1], scr.shape[3]
+            ci = jax.lax.broadcasted_iota(jnp.int32, (cols_s, cols_scr), 1)
+            si = jax.lax.broadcasted_iota(jnp.int32, (cols_s, cols_scr), 0)
+            if mode == "coarser_small":
+                e = (ci // k == si).astype(jnp.bfloat16)
+            elif mode == "same_raw":
+                e = (ci == si + pad_w).astype(jnp.bfloat16)
+            else:
+                # column decimation+shift: scratch lane c' holds raw
+                # column k*(c' - mt) + pc (out-of-range -> zero margins)
+                e = (k * (ci - mt) + pc == si).astype(jnp.bfloat16)
+            for h in range(hp):
+                sm = v_ref[0, h]  # (rows_s, d, cols_s)
+                # 2-D matmul (Mosaic's MXU path); the reshape merges the
+                # untiled leading dim into sublanes — a memory no-op
+                big = jnp.dot(
+                    sm.reshape(rows_s * d, cols_s),
+                    e,
+                    preferred_element_type=jnp.float32,
+                )  # (rows_s * d, cols_scr)
+                body = big.reshape(rows_s, d, cols_scr).astype(jnp.bfloat16)
+                if mode == "coarser_small":
+                    scr[h] = body
+                else:
+                    scr[h, mt_r : mt_r + rows_s] = body
+                    if mt_r:
+                        scr[h, 0:mt_r] = jnp.zeros(
+                            (mt_r, d, cols_scr), jnp.bfloat16
+                        )
+                    if rows_scr > mt_r + rows_s:
+                        scr[h, mt_r + rows_s : rows_scr] = jnp.zeros(
+                            (rows_scr - mt_r - rows_s, d, cols_scr),
+                            jnp.bfloat16,
+                        )
 
     def row_block(ib, _):
         i = ib * rb
@@ -289,10 +380,14 @@ def _merged_kernel_packed(
             for r in range(w):
                 ty = jnp.maximum(0.0, 1.0 - jnp.abs(fy - r))
                 wys.append(at * ty)
-            if mode == "same":
+            if mode in ("same", "same_raw"):
                 span = (w - 1) + rb
             elif mode == "coarser":
                 span = k * (w - 1) + rb
+            elif mode == "coarser_small":
+                # small rows touched by big rows [i+ceil(k/2), +k(w-1)+rb)
+                pat = [(k - k // 2 + j) // k for j in range(rb)]
+                span = w + pat[-1]
             else:
                 span = rb
             for c in range(w):
@@ -310,11 +405,17 @@ def _merged_kernel_packed(
                             for h in range(hp)
                         ]
                     )
-                if mode == "same":
+                if mode in ("same", "same_raw"):
                     row_lo = i + 1
                     col0 = c + 1
                 elif mode == "coarser":
                     row_lo = i + k - k // 2
+                    col0 = k * (c + 1) - k // 2
+                elif mode == "coarser_small":
+                    # big row t = i + ceil(k/2) + k*r + j reads small row
+                    # t // k = i // k + r + pat[j]; i // k is exact
+                    # because rb % k == 0 (enforced by _prep_value_pair)
+                    row_lo = i // k
                     col0 = k * (c + 1) - k // 2
                 for h in range(hp):
                     racc = jnp.zeros((rb, d, wpad), jnp.bfloat16)
@@ -326,14 +427,70 @@ def _merged_kernel_packed(
                                 v_ref, 0, h, row0, rb, d, fcol0, wpad
                             )
                             racc = racc + cws[r][h] * slab
-                    else:
-                        tall = v_ref[
-                            0, h, pl.ds(row_lo, span), :, col0 : col0 + wpad
+                    elif mode == "finer_raw":
+                        # raw rows strided by k; column phase pc(c) was
+                        # decimated into its scratch at build time
+                        pad_ = window // 2
+                        mt = _finer_margin(k, w)
+                        mt_r = max(0, pad_ - 1 - (k - 1) // 2)
+                        mc = (k - 1) // 2 + c + 1
+                        pcc = (mc - pad_) % k
+                        col0 = mt + (mc - pad_ - pcc) // k
+                        scr = scr_refs[scr_idx[li] + pcc]
+                        for r in range(w):
+                            mr = (k - 1) // 2 + r + 1
+                            base = mt_r + k * i + (mr - pad_)
+                            tall = scr[
+                                h,
+                                pl.ds(base, k * (rb - 1) + 1),
+                                :,
+                                col0 : col0 + wpad,
+                            ]
+                            slab = jnp.concatenate(
+                                [
+                                    jax.lax.slice(
+                                        tall,
+                                        (k * j, 0, 0),
+                                        (k * j + 1, d, wpad),
+                                    )
+                                    for j in range(rb)
+                                ],
+                                axis=0,
+                            )
+                            racc = racc + cws[r][h] * slab
+                    elif mode == "coarser_small":
+                        tall = scr_refs[scr_idx[li]][
+                            h, pl.ds(row_lo, span), :, col0 : col0 + wpad
                         ]
-                        step = 1 if mode == "same" else k
+                        for r in range(w):
+                            slab = jnp.concatenate(
+                                [
+                                    jax.lax.slice(
+                                        tall,
+                                        (r + pat[j], 0, 0),
+                                        (r + pat[j] + 1, d, wpad),
+                                    )
+                                    for j in range(rb)
+                                ],
+                                axis=0,
+                            )
+                            racc = racc + cws[r][h] * slab
+                    else:
+                        src = (
+                            scr_refs[scr_idx[li]][
+                                h, pl.ds(row_lo, span), :,
+                                col0 : col0 + wpad,
+                            ]
+                            if mode == "same_raw"
+                            else v_ref[
+                                0, h, pl.ds(row_lo, span), :,
+                                col0 : col0 + wpad,
+                            ]
+                        )
+                        step = 1 if mode in ("same", "same_raw") else k
                         for r in range(w):
                             slab = jax.lax.slice(
-                                tall,
+                                src,
                                 (step * r, 0, 0),
                                 (step * r + rb, d, wpad),
                             )
@@ -381,6 +538,51 @@ def _make_level_fn(cfg):
         x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
         return x.reshape(b, nh // hp, ha_pad, hp * p, wpad)
 
+    # VMEM scratches (see _merged_kernel_packed): lane-expanded small
+    # image per coarser_small level, padded image per same_raw level;
+    # lanes cover the largest static column slice, rounded to full tiles
+    scratch_shapes = []
+    for c in level_cfgs:
+        if c[0] == "coarser_small":
+            scratch_shapes.append(
+                pltpu.VMEM(
+                    (
+                        hp,
+                        c[3],
+                        d,
+                        _round_up(wpad + c[1] * (window + 1), 128),
+                    ),
+                    jnp.bfloat16,
+                )
+            )
+        elif c[0] == "same_raw":
+            scratch_shapes.append(
+                pltpu.VMEM(
+                    (
+                        hp,
+                        ha_pad + window + 1,
+                        d,
+                        _round_up(wpad + window + 1, 128),
+                    ),
+                    jnp.bfloat16,
+                )
+            )
+        elif c[0] == "finer_raw":
+            k = c[1]
+            pad_w = window // 2
+            mt = _finer_margin(k, window)
+            moff = _finer_max_off(k, window)
+            mt_r = max(0, pad_w - 1 - (k - 1) // 2)
+            rows_scr = mt_r + max(
+                c[3],
+                k * (ha_pad - 1) + (k - 1) // 2 + window - pad_w + 1,
+            )
+            cols_scr = _round_up(mt + moff + wpad + 1, 128)
+            for _ in range(k):
+                scratch_shapes.append(
+                    pltpu.VMEM((hp, rows_scr, d, cols_scr), jnp.bfloat16)
+                )
+
     def fwd(preps, fxs, fys, ats):
         kernel = functools.partial(
             _merged_kernel_packed,
@@ -402,6 +604,7 @@ def _make_level_fn(cfg):
             out_shape=jax.ShapeDtypeStruct(
                 (b, nh, ha_pad, d, wpad), jnp.bfloat16
             ),
+            scratch_shapes=scratch_shapes,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024
             ),
@@ -414,10 +617,76 @@ def _make_level_fn(cfg):
         for li, (mode, k, phase_rows, rows_v, cols_v) in enumerate(
             level_cfgs
         ):
-            pair_fn = _make_pair_fn(
-                (b, nh, window, rb, ha_pad, p, d, wpad, mode, k,
-                 phase_rows, rows_v, cols_v, interpret, "cell", 1)
-            )
+            if mode == "coarser_small":
+                # backward-only: materialize the classic upsampled prep
+                # (XLA broadcast, differentiable — its transpose is the
+                # k x k block-sum) and reuse the 'coarser' pair backward
+                pair_raw = _make_pair_fn(
+                    (b, nh, window, rb, ha_pad, p, d, wpad, "coarser", k,
+                     0, rows_v * k, cols_v * k, interpret, "cell", 1)
+                )
+                pair_fn = functools.partial(
+                    lambda pf, kk, pr, fx, fy, at: pf(
+                        _expand_coarser(pr, kk), fx, fy, at
+                    ),
+                    pair_raw,
+                    k,
+                )
+            elif mode == "finer_raw":
+                # backward-only: classic phase decomposition (reshape/
+                # transpose/pad — all differentiable)
+                mt = _finer_margin(k, window)
+                moff = _finer_max_off(k, window)
+                ph_rows = mt + ha_pad + moff + 1
+                ph_cols = mt + cols_v // k + moff + 2
+                pair_raw = _make_pair_fn(
+                    (b, nh, window, rb, ha_pad, p, d, wpad, "finer", k,
+                     ph_rows, k * k * ph_rows, ph_cols, interpret,
+                     "cell", 1)
+                )
+                pair_fn = functools.partial(
+                    lambda pf, kk, pr, fx, fy, at: pf(
+                        _decompose_finer(pr, kk, window, ha_pad)[0],
+                        fx, fy, at,
+                    ),
+                    pair_raw,
+                    k,
+                )
+            elif mode == "same_raw":
+                # backward-only: classic padded prep (pad is
+                # differentiable — its transpose is a slice)
+                rows_c = ha_pad + window + 1
+                cols_c = wpad + window + 1
+                pair_raw = _make_pair_fn(
+                    (b, nh, window, rb, ha_pad, p, d, wpad, "same", 1,
+                     0, rows_c, cols_c, interpret, "cell", 1)
+                )
+                pw = window // 2
+
+                def _pad_same(pr, _rows=rows_c, _cols=cols_c, _pw=pw):
+                    return jnp.pad(
+                        pr,
+                        (
+                            (0, 0),
+                            (0, 0),
+                            (_pw, _rows - _pw - pr.shape[2]),
+                            (0, 0),
+                            (_pw, _cols - _pw - pr.shape[4]),
+                        ),
+                    )
+
+                pair_fn = functools.partial(
+                    lambda pf, padf, pr, fx, fy, at: pf(
+                        padf(pr), fx, fy, at
+                    ),
+                    pair_raw,
+                    _pad_same,
+                )
+            else:
+                pair_fn = _make_pair_fn(
+                    (b, nh, window, rb, ha_pad, p, d, wpad, mode, k,
+                     phase_rows, rows_v, cols_v, interpret, "cell", 1)
+                )
             _, pair_bwd = jax.vjp(
                 pair_fn,
                 preps[li],
@@ -789,6 +1058,27 @@ def _make_pair_fn(cfg):
     return pair_fn
 
 
+def _expand_coarser(vp_small: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Materialize the k x k upsample of the padded small value image:
+    ``big[..., t, :, c] = vp_small[..., t // k, :, c // k]`` as ONE
+    broadcast+reshape pass. Used by the classic 'coarser' prep and by the
+    backward of the compact path (where the forward kernel expands
+    in-VMEM instead — see ``_merged_kernel_packed``)."""
+    bs, hs, rs, ds, cs = vp_small.shape
+    return jnp.broadcast_to(
+        vp_small[:, :, :, None, :, :, None],
+        (bs, hs, rs, k, ds, cs, k),
+    ).reshape(bs, hs, rs * k, ds, cs * k)
+
+
+def _compact_enabled() -> bool:
+    """DEFORM_COMPACT=0 reverts to the classic XLA-materialized preps
+    (debug/A-B knob; read at trace time like DEFORM_RB)."""
+    import os
+
+    return os.environ.get("DEFORM_COMPACT", "1") != "0"
+
+
 def _prep_value_pair(
     vimg: jnp.ndarray,  # (B, H, Hb, D, Wb) bf16 value image
     ha: int,
@@ -799,15 +1089,28 @@ def _prep_value_pair(
     wpad: int,
     rb: int,
     ha_pad: int,
+    compact: bool = False,
 ):
     """Align the value image to the query grid so that every window-cell
     slab inside the kernel is a static slice. Returns (prep, mode, k,
-    phase_rows). All ops are dense (pad / repeat / strided slice)."""
+    phase_rows). All ops are dense (pad / repeat / strided slice).
+
+    With ``compact`` (merged-kernel callers only), coarser pairs skip the
+    k x k upsample materialization entirely: the prep is just the PADDED
+    SMALL image (mode 'coarser_small') and the merged kernel expands it
+    on-chip — the round-5 batch-16 trace showed the upsampled-prep
+    pads/copies at ~60-90 ms/iter of the 403 ms pixel decoder."""
     w = window
     pad = w // 2
     b, h, _, d, _ = vimg.shape
 
     if ha == hb and wa == wb:
+        if compact and _compact_enabled():
+            # merged kernel pads in-VMEM (rows: margin stores, lanes: an
+            # MXU shift matrix); the raw image is ALSO the same tensor
+            # for every query level that samples this value level, so
+            # XLA CSEs any custom-call layout copy across launches
+            return vimg, "same_raw", 1, 0
         # rows [i+1, i+w] cols [c+1, c+1+wpad]; row indices reach
         # (ha_pad-1) + w, columns reach w + wpad
         rows = ha_pad + w + 1
@@ -847,32 +1150,42 @@ def _prep_value_pair(
                 (pad, cols_small - pad - wb),
             ),
         )
+        if compact and _compact_enabled() and k in (2, 4) and rb % k == 0:
+            # merged kernel expands in-VMEM; the static small-row pattern
+            # in the kernel needs rb % k == 0 so i // k is exact
+            return vp_small, "coarser_small", k, 0
         # k x k upsample as ONE broadcast+reshape pass (two chained
         # jnp.repeat calls materialized the full-size image twice,
         # ~38 ms/iter across the encoder in the round-5 trace)
-        bs, hs, rs, ds, cs = vp_small.shape
-        prep = jnp.broadcast_to(
-            vp_small[:, :, :, None, :, :, None],
-            (bs, hs, rs, k, ds, cs, k),
-        ).reshape(bs, hs, rs * k, ds, cs * k)
-        return prep, "coarser", k, 0
+        return _expand_coarser(vp_small, k), "coarser", k, 0
 
     # value finer by k: k x k phase decomposition, decompose-then-pad.
     # Strided lane slices lower as gathers on TPU (measured 7.5 ms/layer,
     # round-3 trace), so phases must land as contiguous row blocks; the
     # earlier pad-then-decompose ordering paid a FULL-SIZE pad pass in a
     # pathological {d-minor} layout (~1.8 ms each, round-5 trace) before
-    # the space-to-depth transpose. Here the reshape/transpose runs on
-    # the raw image (its dims are exact k-multiples of the query grid by
-    # construction) and the window margins are padded afterwards in
-    # phase space, where XLA fuses the pad into the transpose's output
-    # write. Lanes hold only the real decimated width (~wa) plus the
-    # shift margin; the kernels read this narrow slab and zero-pad it to
-    # wpad in registers — full-wpad phase copies waste up to 4x VMEM and
-    # OOM the backward kernels.
+    # the space-to-depth transpose.
     k = hb // ha
     assert k * ha == hb and k * wa == wb, (ha, wa, hb, wb)
-    b_, h_, _, d_, _ = vimg.shape
+    if compact and _compact_enabled() and k in (2, 4):
+        # merged kernel builds k COLUMN-phase images in VMEM via MXU
+        # decimation matrices; rows stay raw (the cell loop strides them
+        # by k with static single-row slices)
+        return vimg, "finer_raw", k, 0
+    prep, phase_rows = _decompose_finer(vimg, k, w, ha_pad)
+    return prep, "finer", k, phase_rows
+
+
+def _decompose_finer(vimg: jnp.ndarray, k: int, w: int, ha_pad: int):
+    """Classic finer prep: k x k phase decomposition of the raw image
+    (one space-to-depth reshape/transpose) padded in phase space, where
+    XLA fuses the pad into the transpose's output write. Lanes hold only
+    the real decimated width (~wa) plus the shift margin; the kernels
+    read this narrow slab and zero-pad it to wpad in registers —
+    full-wpad phase copies waste up to 4x VMEM and OOM the backward
+    kernels. Also used by the backward of the compact 'finer_raw' path."""
+    b_, h_, hb, d_, wb = vimg.shape
+    ha, wa = hb // k, wb // k
     mt = _finer_margin(k, w)
     moff = _finer_max_off(k, w)
     phase_rows = mt + ha_pad + moff + 1
@@ -892,7 +1205,7 @@ def _prep_value_pair(
         ),
     )
     prep = ph.reshape(b_, h_, k * k * phase_rows, d_, phase_cols)
-    return prep, "finer", k, phase_rows
+    return prep, phase_rows
 
 
 def windowed_ms_deform_attn_pallas_cm(
@@ -962,7 +1275,8 @@ def windowed_ms_deform_attn_pallas_cm(
             ax = jnp.asarray(_anchor(qw, vw, w), jnp.float32)  # lane anchor
             ay = jnp.asarray(_anchor(qh, vh, w), jnp.float32)  # row anchor
             prep, mode, k, phase_rows = _prep_value_pair(
-                vimg(bi, tr), qh, qw, vh, vw, w, wpad, rb, ha_pad
+                vimg(bi, tr), qh, qw, vh, vw, w, wpad, rb, ha_pad,
+                compact=True,
             )
 
             # (B, NH, eh, ew) coordinate planes for this value level
@@ -1140,7 +1454,8 @@ def windowed_ms_deform_attn_pallas(
             ax = jnp.asarray(_anchor(qw, vw, w), jnp.float32)  # lane anchor
             ay = jnp.asarray(_anchor(qh, vh, w), jnp.float32)  # row anchor
             prep, mode, k, phase_rows = _prep_value_pair(
-                vimg(bi, tr), qh, qw, vh, vw, w, wpad, rb, ha_pad
+                vimg(bi, tr), qh, qw, vh, vw, w, wpad, rb, ha_pad,
+                compact=use_merged,
             )
             rows_v, cols_v = prep.shape[2], prep.shape[4]
 

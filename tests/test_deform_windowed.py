@@ -154,7 +154,10 @@ class TestMergedVariantFast:
             windowed_ms_deform_attn_pallas,
         )
 
-        shapes = [(2, 3), (4, 6)]
+        # three levels: exercises the compact coarser path at BOTH level
+        # ratios (k=2 and k=4 — in-kernel MXU lane expand + static row
+        # repeat pattern) plus finer k-phase pairs
+        shapes = [(2, 3), (4, 6), (8, 12)]
         value, locs, wgts = build_inputs(rng, shapes, max_offset_cells=1.5, b=1)
         want = windowed_ms_deform_attn(value, shapes, locs, wgts, window=4)
         got = windowed_ms_deform_attn_pallas(
