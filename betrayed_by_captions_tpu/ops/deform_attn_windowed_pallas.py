@@ -373,8 +373,11 @@ def _merged_kernel_packed(
         for li, (mode, k, phase_rows) in enumerate(level_cfgs):
             v_ref = v_refs[li]
             cellmap = cellmaps[li]
-            fx = fx_refs[li][0, 0, pl.ds(i, rb)]  # (rb, HP*P, WPAD) f32
+            fx = fx_refs[li][0, 0, pl.ds(i, rb)]  # (rb, HP*P, WPAD)
             fy = fy_refs[li][0, 0, pl.ds(i, rb)]
+            if fx.dtype == jnp.int16:  # fixed-point coords, ulp 1/4096
+                fx = fx.astype(jnp.float32) * (1.0 / 4096.0)
+                fy = fy.astype(jnp.float32) * (1.0 / 4096.0)
             at = at_refs[li][0, 0, pl.ds(i, rb)].astype(jnp.float32)
             wys = []
             for r in range(w):
@@ -584,6 +587,20 @@ def _make_level_fn(cfg):
                 )
 
     def fwd(preps, fxs, fys, ats):
+        if _coord16_enabled():
+            # quantize the fractional window coordinates to int16 fixed
+            # point (ulp 1/4096 of a cell — tent-weight error ~1e-4,
+            # far below the kernel's bf16 multiplies). The round/cast
+            # fuses into the coordinate-plane producer, so the f32
+            # planes never reach HBM on the inference path; the VJP
+            # residuals keep the original f32 planes, so training
+            # gradients are untouched. DEFORM_COORD16=0 reverts.
+            fxs = tuple(
+                jnp.round(x * 4096.0).astype(jnp.int16) for x in fxs
+            )
+            fys = tuple(
+                jnp.round(x * 4096.0).astype(jnp.int16) for x in fys
+            )
         kernel = functools.partial(
             _merged_kernel_packed,
             window=window, rb=rb, ha=ha_pad, d=d, p=p, wpad=wpad,
@@ -1077,6 +1094,14 @@ def _compact_enabled() -> bool:
     import os
 
     return os.environ.get("DEFORM_COMPACT", "1") != "0"
+
+
+def _coord16_enabled() -> bool:
+    """DEFORM_COORD16=0 keeps f32 fractional-coordinate planes on the
+    merged forward path (debug/A-B knob, read at trace time)."""
+    import os
+
+    return os.environ.get("DEFORM_COORD16", "1") != "0"
 
 
 def _prep_value_pair(
