@@ -148,6 +148,7 @@ if __name__ == "__main__":
         if (
             os.environ.get("DEFORM_COMPACT", "1") == "0"
             and os.environ.get("DEFORM_COORD16", "1") == "0"
+            and os.environ.get("DEFORM_OUT_T", "1") == "0"
         ):
             raise
         import traceback
@@ -156,4 +157,5 @@ if __name__ == "__main__":
         print("bench: retrying with classic preps", flush=True)
         os.environ["DEFORM_COMPACT"] = "0"
         os.environ["DEFORM_COORD16"] = "0"
+        os.environ["DEFORM_OUT_T"] = "0"
         main()

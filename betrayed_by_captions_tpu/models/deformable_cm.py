@@ -244,11 +244,12 @@ class MSDeformAttentionCM(nn.Module):
         )
         results = []
         for li, o in enumerate(outs):
+            # channels-major (B, NH, D, eh, ew) from the kernel: the
+            # merge to (B, NH*D, eh, ew) is a pure reshape (the kernel
+            # stores this layout directly under DEFORM_OUT_T)
             b = o.shape[0]
-            eh, ew = o.shape[2], o.shape[4]
-            o = jnp.transpose(o, (0, 1, 3, 2, 4)).reshape(
-                b, nh * d, eh, ew
-            )
+            eh, ew = o.shape[3], o.shape[4]
+            o = o.reshape(b, nh * d, eh, ew)
             results.append(output_proj(o.astype(self.dtype)))
         return results
 

@@ -264,6 +264,7 @@ def _merged_kernel_packed(
     wpad: int,
     level_cfgs: Tuple[Tuple[str, int, int], ...],  # (mode, k, phase_rows)
     hp: int,
+    out_t: bool = False,  # store (D, HA, WPAD) channels-major per head
 ):
     """All value levels of one query level in ONE kernel launch.
 
@@ -500,7 +501,17 @@ def _merged_kernel_packed(
                             racc = racc + cws[r][h] * slab
                     accs[h] = accs[h] + racc.astype(jnp.float32)
         for h in range(hp):
-            o_ref[0, h, pl.ds(i, rb)] = accs[h].astype(jnp.bfloat16)
+            if out_t:
+                # channels-major store (B, NH, D, HA, WPAD): the exit
+                # reshape to (B, NH*D, eh, ew) is then a no-op, killing
+                # the XLA output-permute pass (round-5 trace: ~16 ms/iter
+                # across the encoder). In-register (rb, d, *) ->
+                # (d, rb, *) is a VMEM-local sublane restructure.
+                o_ref[0, h, :, pl.ds(i, rb)] = jnp.transpose(
+                    accs[h].astype(jnp.bfloat16), (1, 0, 2)
+                )
+            else:
+                o_ref[0, h, pl.ds(i, rb)] = accs[h].astype(jnp.bfloat16)
         return 0
 
     jax.lax.fori_loop(0, ha // rb, row_block, 0)
@@ -513,10 +524,14 @@ def _make_level_fn(cfg):
     backward kernels (same math, so the VJP decomposes per value level).
 
     cfg = (b, nh, window, rb, ha_pad, p, d, wpad, hp, interpret,
-           level_cfgs) where level_cfgs is a tuple of
-    (mode, k, phase_rows, rows_v, cols_v) per value level.
+           level_cfgs[, out_t]) where level_cfgs is a tuple of
+    (mode, k, phase_rows, rows_v, cols_v) per value level and out_t
+    selects the channels-major output layout (B, NH, D, HA, WPAD).
     """
-    (b, nh, window, rb, ha_pad, p, d, wpad, hp, interpret, level_cfgs) = cfg
+    (b, nh, window, rb, ha_pad, p, d, wpad, hp, interpret, level_cfgs) = cfg[
+        :11
+    ]
+    out_t = cfg[11] if len(cfg) > 11 else False
     nl = len(level_cfgs)
 
     def spec(shape, heads=1):
@@ -605,8 +620,10 @@ def _make_level_fn(cfg):
             _merged_kernel_packed,
             window=window, rb=rb, ha=ha_pad, d=d, p=p, wpad=wpad,
             level_cfgs=tuple(c[:3] for c in level_cfgs), hp=hp,
+            out_t=out_t,
         )
         wspec = spec((ha_pad, hp * p, wpad))
+        out_dims = (d, ha_pad, wpad) if out_t else (ha_pad, d, wpad)
         return pl.pallas_call(
             kernel,
             grid=(b, nh // hp),
@@ -617,9 +634,9 @@ def _make_level_fn(cfg):
                 ]
                 + [wspec] * (3 * nl)
             ),
-            out_specs=spec((ha_pad, d, wpad), heads=hp),
+            out_specs=spec(out_dims, heads=hp),
             out_shape=jax.ShapeDtypeStruct(
-                (b, nh, ha_pad, d, wpad), jnp.bfloat16
+                (b, nh) + out_dims, jnp.bfloat16
             ),
             scratch_shapes=scratch_shapes,
             compiler_params=pltpu.CompilerParams(
@@ -630,6 +647,10 @@ def _make_level_fn(cfg):
 
     def bwd(res, g):
         preps, fxs, fys, ats = res
+        if out_t:
+            # pair backwards expect the classic (B, NH, HA, D, WPAD)
+            # cotangent layout (training-only relayout)
+            g = jnp.transpose(g, (0, 1, 3, 2, 4))
         d_preps, d_fxs, d_fys, d_ats = [], [], [], []
         for li, (mode, k, phase_rows, rows_v, cols_v) in enumerate(
             level_cfgs
@@ -1104,6 +1125,14 @@ def _coord16_enabled() -> bool:
     return os.environ.get("DEFORM_COORD16", "1") != "0"
 
 
+def _out_t_enabled() -> bool:
+    """DEFORM_OUT_T=0 keeps the classic (B, NH, HA, D, WPAD) merged
+    output layout instead of channels-major (debug/A-B knob)."""
+    import os
+
+    return os.environ.get("DEFORM_OUT_T", "1") != "0"
+
+
 def _prep_value_pair(
     vimg: jnp.ndarray,  # (B, H, Hb, D, Wb) bf16 value image
     ha: int,
@@ -1252,7 +1281,9 @@ def windowed_ms_deform_attn_pallas_cm(
 
     Per level ``(eh, ew)`` is ``(h, w)`` or, when ``orientations[l]``,
     ``(w, h)``; ``locations[..., 0, :, :]`` is always the x coordinate.
-    Returns kernel-layout outputs per level: (B, NH, eh, D, ew) bf16.
+    Returns CHANNELS-MAJOR outputs per level: (B, NH, D, eh, ew) bf16 —
+    with DEFORM_OUT_T (default) the kernel stores that layout directly,
+    so the caller's reshape to (B, NH*D, eh, ew) is a no-op.
     """
     import os
 
@@ -1348,8 +1379,10 @@ def windowed_ms_deform_attn_pallas_cm(
         level_cfgs = tuple(
             (m[4], m[5], m[6], m[0].shape[2], m[0].shape[4]) for m in merged
         )
+        out_t = _out_t_enabled()
         level_fn = _make_level_fn(
-            (b, nh, w, rb, ha_pad, p, d, wpad, hp, interpret, level_cfgs)
+            (b, nh, w, rb, ha_pad, p, d, wpad, hp, interpret, level_cfgs,
+             out_t)
         )
         acc = level_fn(
             tuple(m[0] for m in merged),
@@ -1357,7 +1390,12 @@ def windowed_ms_deform_attn_pallas_cm(
             tuple(m[2] for m in merged),
             tuple(m[3] for m in merged),
         )
-        outs.append(acc[:, :, :qh, :, :qw])  # (B, NH, eh, D, ew)
+        if out_t:  # kernel stored channels-major directly
+            outs.append(acc[:, :, :, :qh, :qw])
+        else:
+            outs.append(
+                jnp.transpose(acc[:, :, :qh, :, :qw], (0, 1, 3, 2, 4))
+            )
     return outs
 
 
@@ -1569,13 +1607,16 @@ def windowed_ms_deform_attn_pallas(
             part = pair_fn(prep, fx_k, fy_k, at_k)
             acc = part.astype(jnp.float32) if acc is None else acc + part
 
+        out_t = False
         if merged:
             level_cfgs = tuple(
                 (m[4], m[5], m[6], m[0].shape[2], m[0].shape[4])
                 for m in merged
             )
+            out_t = _out_t_enabled()
             level_fn = _make_level_fn(
-                (b, nh, w, rb, ha_pad, p, d, wpad, 2, interpret, level_cfgs)
+                (b, nh, w, rb, ha_pad, p, d, wpad, 2, interpret,
+                 level_cfgs, out_t)
             )
             acc = level_fn(
                 tuple(m[0] for m in merged),
@@ -1584,9 +1625,13 @@ def windowed_ms_deform_attn_pallas(
                 tuple(m[3] for m in merged),
             ).astype(jnp.float32)
 
-        # (B, H, ha_pad, D, WPAD) -> (B, Ha*Wa, H*D)
-        out = acc[:, :, :qh, :, :qw]
-        perm = (0, 4, 2, 1, 3) if tr else (0, 2, 4, 1, 3)
+        # -> (B, Ha*Wa, H*D)
+        if out_t:  # (B, H, D, qh, qw)
+            out = acc[:, :, :, :qh, :qw]
+            perm = (0, 4, 3, 1, 2) if tr else (0, 3, 4, 1, 2)
+        else:  # (B, H, qh, D, qw)
+            out = acc[:, :, :qh, :, :qw]
+            perm = (0, 4, 2, 1, 3) if tr else (0, 2, 4, 1, 3)
         out = jnp.transpose(out, perm).reshape(b, ha * wa, nh * d)
         out_levels.append(out)
 
