@@ -202,11 +202,7 @@ class MSDeformAttentionCM(nn.Module):
             self.embed_dim, dtype=self.dtype, name="output_proj"
         )
 
-        normalizer = np.array(
-            [[w_l, h_l] for (h_l, w_l) in spatial_shapes], np.float32
-        )  # (L, 2) in (x, y) order
-
-        values, locations, attention = [], [], []
+        values, offsets, attention = [], [], []
         for li in range(nl):
             b = tokens[li].shape[0]
             eh, ew = tokens[li].shape[2:]
@@ -220,13 +216,14 @@ class MSDeformAttentionCM(nn.Module):
             offs = offsets_proj(queries[li]).reshape(
                 b, nh, nl, npts, 2, eh, ew
             ).astype(jnp.float32)
-            # window clamp (see models/deformable.py docstring)
+            # window clamp (see models/deformable.py docstring); kept in
+            # CELL units — the op folds reference scaling, anchors and
+            # the final window clip into its packed-plane write, so the
+            # normalized-locations tensor never materializes. bf16
+            # storage: learned offsets at 0.4% relative error, below the
+            # op's int16 plane quantization noise floor.
             offs = jnp.clip(offs, -(w / 2 - 1), w / 2 - 1)
-            locs = (
-                reference_points[li][None, None, None, None, :, :, :]
-                + offs / normalizer[None, None, :, None, :, None, None]
-            )
-            locations.append(locs)
+            offsets.append(offs.astype(jnp.bfloat16))
 
             at = attn_proj(queries[li]).reshape(b, nh, nl * npts, eh, ew)
             at = nn.softmax(at.astype(jnp.float32), axis=2)
@@ -238,7 +235,8 @@ class MSDeformAttentionCM(nn.Module):
             values,
             spatial_shapes,
             orientations,
-            locations,
+            offsets,
+            reference_points,
             attention,
             window=w,
         )

@@ -1266,7 +1266,13 @@ def windowed_ms_deform_attn_pallas_cm(
     values: Sequence[jnp.ndarray],  # per level (B, NH, eh, D, ew) bf16
     spatial_shapes: Sequence[Tuple[int, int]],  # true (h, w) per level
     orientations: Sequence[bool],  # True = stored transposed (lanes = h)
-    locations: Sequence[jnp.ndarray],  # per level (B,NH,L,P,2,eh,ew) f32
+    offsets: Sequence[jnp.ndarray],  # per level (B,NH,L,P,2,eh,ew), CELL
+    # units of the sampled value level, clipped to +-(w/2-1); any float
+    # dtype (bf16 halves the largest intermediate of the coordinate
+    # pipeline — offsets are learned, so 0.4% relative error is noise
+    # next to the int16 plane quantization downstream)
+    reference_points: Sequence[jnp.ndarray],  # per level (2, eh, ew)
+    # normalized grid centers in stored orientation, channel 0 = x
     attention: Sequence[jnp.ndarray],  # per level (B,NH,L,P,eh,ew)
     window: int = DEFAULT_WINDOW,
     interpret: bool = False,
@@ -1279,8 +1285,16 @@ def windowed_ms_deform_attn_pallas_cm(
     token-layout ``windowed_ms_deform_attn_pallas`` remains for direct
     drop-in use.
 
+    Taking raw CELL-UNIT offsets + constant reference planes (instead of
+    the reference's normalized ``sampling_locations``) lets the whole
+    coordinate chain — reference scaling, anchor subtraction, window
+    clip, int16 quantization — fuse into the single pass that writes the
+    packed coordinate planes: the normalized-locations tensor
+    (B, NH, L, P, 2, eh, ew) f32 never materializes (~0.2 GB/level at
+    the flagship batch).
+
     Per level ``(eh, ew)`` is ``(h, w)`` or, when ``orientations[l]``,
-    ``(w, h)``; ``locations[..., 0, :, :]`` is always the x coordinate.
+    ``(w, h)``; ``offsets[..., 0, :, :]`` is always the x coordinate.
     Returns CHANNELS-MAJOR outputs per level: (B, NH, D, eh, ew) bf16 —
     with DEFORM_OUT_T (default) the kernel stores that layout directly,
     so the caller's reshape to (B, NH*D, eh, ew) is a no-op.
@@ -1289,7 +1303,7 @@ def windowed_ms_deform_attn_pallas_cm(
 
     b, nh, _, d, _ = values[0].shape
     nl = len(spatial_shapes)
-    p = locations[0].shape[3]
+    p = offsets[0].shape[3]
     w = window
     assert nh % 2 == 0, "channels-major path requires an even head count"
     hp = 2
@@ -1335,15 +1349,29 @@ def windowed_ms_deform_attn_pallas_cm(
                 compact=True,
             )
 
-            # (B, NH, eh, ew) coordinate planes for this value level
-            px = locations[ai][:, :, bi, :, lane_i].astype(jnp.float32)
-            py = locations[ai][:, :, bi, :, row_i].astype(jnp.float32)
-            # fractional window coords: clip into the window
+            # (B, NH, P, eh, ew) coordinate planes for this value level:
+            # base = reference center in value-cell units minus the
+            # per-position window anchor — a CONSTANT (eh, ew) plane
+            # (reference_points are trace-time constants, XLA folds it);
+            # the offsets add is the only data-dependent term, so the
+            # whole chain fuses into the packed-plane write
+            base_x = (
+                reference_points[ai][lane_i].astype(jnp.float32) * vw
+                - 0.5
+                - ax[None, :]
+            )  # (eh, ew)
+            base_y = (
+                reference_points[ai][row_i].astype(jnp.float32) * vh
+                - 0.5
+                - ay[:, None]
+            )
+            offs_x = offsets[ai][:, :, bi, :, lane_i].astype(jnp.float32)
+            offs_y = offsets[ai][:, :, bi, :, row_i].astype(jnp.float32)
             fx = jnp.clip(
-                px * vw - 0.5 - ax[None, None, None, None, :], 0, w - 1
+                base_x[None, None, None] + offs_x, 0, w - 1
             )
             fy = jnp.clip(
-                py * vh - 0.5 - ay[None, None, None, :, None], 0, w - 1
+                base_y[None, None, None] + offs_y, 0, w - 1
             )
             at = attention[ai][:, :, bi]  # (B, NH, P, eh, ew)
 
