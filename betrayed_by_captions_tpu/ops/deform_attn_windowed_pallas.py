@@ -1133,6 +1133,20 @@ def _out_t_enabled() -> bool:
     return os.environ.get("DEFORM_OUT_T", "1") != "0"
 
 
+def _heads_per_step(nh: int) -> int:
+    """Heads packed per merged-kernel grid step. DEFORM_HP (default 2)
+    is an on-chip A/B knob: hp=4 halves the grid (less launch/pipeline
+    overhead, more weight-vreg reuse) at 2x the per-step VMEM."""
+    import os
+
+    hp = int(os.environ.get("DEFORM_HP", "2"))
+    if hp < 1 or hp > 64 or (hp & (hp - 1)) != 0:
+        raise ValueError(f"DEFORM_HP={hp}: must be a power of two in [1, 64]")
+    while nh % hp:  # clamp to a divisor (tiny test configs have NH=2)
+        hp //= 2
+    return hp
+
+
 def _prep_value_pair(
     vimg: jnp.ndarray,  # (B, H, Hb, D, Wb) bf16 value image
     ha: int,
@@ -1306,7 +1320,7 @@ def windowed_ms_deform_attn_pallas_cm(
     p = offsets[0].shape[3]
     w = window
     assert nh % 2 == 0, "channels-major path requires an even head count"
-    hp = 2
+    hp = _heads_per_step(nh)
     grp = nh // hp
     interpret = interpret or jax.default_backend() == "cpu"
 
@@ -1522,7 +1536,7 @@ def windowed_ms_deform_attn_pallas(
             # to_lanes+pack chain materialized each weight tensor 3x and
             # accounted for a large slice of the measured XLA-relayout
             # time (~48% of the op in the round-3 trace)
-            hp = 2
+            hp = _heads_per_step(nh)
             grp = nh // hp
             locs_r = locs_seg.reshape(b, ha, wa, grp, hp, nl, p, 2)
             wgts_r = wgts_seg.reshape(b, ha, wa, grp, hp, nl, p)
@@ -1643,7 +1657,7 @@ def windowed_ms_deform_attn_pallas(
             )
             out_t = _out_t_enabled()
             level_fn = _make_level_fn(
-                (b, nh, w, rb, ha_pad, p, d, wpad, 2, interpret,
+                (b, nh, w, rb, ha_pad, p, d, wpad, hp, interpret,
                  level_cfgs, out_t)
             )
             acc = level_fn(

@@ -172,6 +172,45 @@ class TestMergedVariantFast:
         )
 
 
+class TestHeadsPerStep:
+    def test_hp4_matches_hp2(self, rng, monkeypatch):
+        """DEFORM_HP=4 packs 4 heads per grid step; outputs must match
+        the default packing bit-for-bf16 (NH=4 so hp actually divides)."""
+        from betrayed_by_captions_tpu.ops import (
+            deform_attn_windowed_pallas as mod,
+        )
+
+        shapes = [(2, 3), (4, 6)]
+        s = sum(h * w for h, w in shapes)
+        b, nh, d, p = 1, 4, 8, 4
+        value = jnp.asarray(rng.randn(b, s, nh, d).astype(np.float32))
+        ref = make_reference_points(shapes)
+        offsets = rng.uniform(-1.0, 1.0, size=(b, s, nh, 2, p, 2)).astype(
+            np.float32
+        )
+        norm = np.array([[w, h] for (h, w) in shapes], np.float32)
+        locs = jnp.asarray(
+            ref[None, :, None, None, None, :]
+            + offsets / norm[None, None, None, :, None, :]
+        )
+        wgts = rng.rand(b, s, nh, 2, p).astype(np.float32)
+        wgts = jnp.asarray(wgts / wgts.sum(axis=(3, 4), keepdims=True))
+
+        def run():
+            return np.asarray(
+                mod.windowed_ms_deform_attn_pallas(
+                    value, shapes, locs, wgts, window=4, interpret=True
+                ),
+                np.float32,
+            )
+
+        monkeypatch.setenv("DEFORM_HP", "2")
+        want = run()
+        monkeypatch.setenv("DEFORM_HP", "4")
+        got = run()
+        np.testing.assert_allclose(got, want, rtol=0.02, atol=0.02)
+
+
 class TestModuleWindowSemantics:
     """MSDeformAttention's window/clamp contract (models/deformable.py):
     window=None must be reference-faithful — NO offset clamp, mmcv compass
