@@ -7,7 +7,14 @@ lemmatization + LVIS-synonym matching (LVISParser) or NLTK POS tagging
 environment, so:
 
 - lemmatization is a deterministic rule-based English noun lemmatizer
-  (inflection stripping) — adequate for object nouns in COCO captions,
+  (inflection stripping) — adequate for object nouns in COCO captions.
+  QUANTIFIED deviation (tests/test_parser_fixture.py on the frozen
+  200-caption fixture, 401 expected matches derived with the reference's
+  own matching rule): micro precision 0.9975 / recall 0.9975. The two
+  known failure classes: verb inflections are not lemmatized (reference
+  spaCy matches "spraying" to atomizer's "spray" synonym; we don't), and
+  "people" -> "person" (we tag person; the reference does not, since
+  spaCy keeps "people"),
 - ``LVISParser`` matches lemmatized LVIS synonyms (shipped as the data
   asset ``assets/lvis_synonyms.json``) inside the lemmatized caption with
   word-boundary semantics, like the reference,
@@ -45,7 +52,13 @@ _IRREGULAR = {
     "wives": "wife",
     "lives": "life",
     "skis": "ski",
+    "buses": "bus",
+    "gases": "gas",
 }
+
+# plurals of -oe words: strip only the trailing "s" (the generic "-oes"
+# rule below is for potato/tomato-style plurals)
+_OE_PLURALS = ("shoes", "canoes", "toes", "oboes", "aloes", "horseshoes")
 
 _KEEP_S = {
     "glass", "bus", "dress", "its", "this", "tennis", "grass", "press",
@@ -65,6 +78,8 @@ def lemmatize_word(word: str) -> str:
         return w[:-3] + "y"
     if w.endswith(("ches", "shes", "sses", "xes", "zes")):
         return w[:-2]
+    if w in _OE_PLURALS:
+        return w[:-1]
     if w.endswith("oes") and len(w) > 4:
         return w[:-2]
     if w.endswith("s") and not w.endswith(("ss", "us", "is")):
@@ -102,7 +117,10 @@ class LVISParser:
             cid = item["id"] - 1  # 0-based
             self.class_names[cid] = item["name"]
             for syn in item["synonyms"]:
-                syn = syn.lower().replace("_", " ")
+                # the reference stops at a '(' token — parenthesized
+                # qualifiers like "(computer_equipment)" are dropped from
+                # the match key (parser.py:100-108)
+                syn = syn.split("(")[0].lower().replace("_", " ")
                 lemma = lemmatize_sentence(syn)
                 if lemma:
                     self.look_up[lemma] = cid

@@ -163,7 +163,10 @@ def synthetic_vocab(extra_words: Optional[List[str]] = None) -> Dict[str, int]:
     vocab[SEP] = 102
     vocab[MASK] = 103
     words = extra_words or []
-    base = ["a", "the", "dog", "cat", "person", "##s", "on", "bench", "photo", "of"]
+    # covers every caption data/synthetic.py generates ("a photo of a
+    # <name> and a <name>", names from CLASS_NAMES)
+    base = ["a", "the", "dog", "cat", "person", "##s", "on", "bench",
+            "photo", "of", "and", "car"]
     for w in base + words:
         if w not in vocab:
             vocab[w] = len(vocab)
