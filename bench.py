@@ -60,6 +60,9 @@ ITERS = 8
 # sleeps PROBE_RETRY_SLEEP.  Overridable for local experiments.
 PROBE_BUDGET = float(os.environ.get("BENCH_PROBE_BUDGET", "900"))
 PROBE_RETRY_SLEEP = float(os.environ.get("BENCH_PROBE_SLEEP", "30"))
+# per-probe subprocess timeout: a DEAD tunnel usually hangs backend init
+# (no error), so this bounds how much of the budget one hung init eats
+PROBE_TIMEOUT = float(os.environ.get("BENCH_PROBE_TIMEOUT", "300"))
 
 # Kernel-config ladder, most to least aggressive.  Stage 0 is whatever
 # the environment says (defaults shown); later stages progressively
@@ -122,7 +125,7 @@ def _run_probe(env_overrides):
             [sys.executable, "-c", _PROBE_SRC],
             capture_output=True,
             text=True,
-            timeout=600,
+            timeout=PROBE_TIMEOUT,
             env=env,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
