@@ -127,8 +127,14 @@ class Mask2FormerOpen(nn.Module):
         return logits.mean(axis=0)
 
 
-def build_detector(model_cfg: Config, dtype=jnp.float32) -> Mask2FormerOpen:
-    """Build from a config dict (configs/ tree)."""
+def build_detector(model_cfg: Config, dtype=None) -> Mask2FormerOpen:
+    """Build from a config dict (configs/ tree).
+
+    ``dtype`` comes from ``model_cfg.dtype`` ("bfloat16"/"float32" — the
+    shipped configs train in bf16) unless overridden by the argument.
+    """
+    if dtype is None:
+        dtype = jnp.dtype(model_cfg.get("dtype", "float32"))
     return Mask2FormerOpen(
         num_classes=model_cfg.get("num_classes", 48),
         num_queries=model_cfg.get("num_queries", 100),
@@ -142,9 +148,13 @@ def build_detector(model_cfg: Config, dtype=jnp.float32) -> Mask2FormerOpen:
         pred_emb_norm=model_cfg.get("pred_emb_norm", False),
         vocab_size=model_cfg.get("vocab_size", 30522),
         max_caption_len=model_cfg.get("max_caption_len", 35),
+        caption_num_layers=model_cfg.get("caption_num_layers", 4),
+        caption_ff_dim=model_cfg.get("caption_ff_dim", 512),
+        caption_num_heads=model_cfg.get("caption_num_heads", 8),
         learnable_temperature=model_cfg.get("learnable_temperature", False),
         softmax_temperature_init=model_cfg.get("softmax_temperature", 10.0),
         attn_impl=model_cfg.get("attn_impl", "exact"),
         deform_window=model_cfg.get("deform_window", 8),
+        remat=model_cfg.get("remat", False),
         dtype=dtype,
     )

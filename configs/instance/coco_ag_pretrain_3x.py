@@ -3,6 +3,8 @@
 _base_ = ["coco_b48n17.py"]
 
 model = dict(
+    # bf16 compute throughout (f32 accumulation inside kernels/losses)
+    dtype="bfloat16",
     use_class_emb=True,
     use_caption_generation=True,
     # stage 1 trains the full backbone (reference frozen_stages=-1)

@@ -12,6 +12,8 @@ assets = dict(
 )
 
 model = dict(
+    # bf16 compute throughout (f32 accumulation inside kernels/losses)
+    dtype="bfloat16",
     num_queries=100,
     feat_channels=256,
     emb_dim=768,
