@@ -181,6 +181,31 @@ def train(cfg: Config, work_dir: str, resume: bool = False):
             )
             print(f"epoch {epoch + 1}/{max_epochs} done; checkpoint saved")
 
+            # per-epoch device-memory watermarks (HBM-creep detection for
+            # sustained runs; tools/soak_train.py asserts on this file)
+            if cfg.get("log_device_memory", False):
+                import json
+
+                stats = (
+                    getattr(
+                        jax.local_devices()[0], "memory_stats", lambda: None
+                    )()
+                    or {}
+                )
+                with open(os.path.join(work_dir, "hbm.jsonl"), "a") as f:
+                    f.write(
+                        json.dumps(
+                            {
+                                "epoch": epoch + 1,
+                                "bytes_in_use": stats.get("bytes_in_use"),
+                                "peak_bytes_in_use": stats.get(
+                                    "peak_bytes_in_use"
+                                ),
+                            }
+                        )
+                        + "\n"
+                    )
+
             # dynamic intervals (reference EvalHook dynamic_intervals,
             # apis/eval_hooks.py:24-55): list of (start_epoch, interval)
             # milestones; the latest reached milestone wins
