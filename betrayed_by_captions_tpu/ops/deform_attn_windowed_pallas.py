@@ -1330,6 +1330,12 @@ def windowed_ms_deform_attn_pallas_cm(
             f"DEFORM_RB={rb}: row-block size must be a power of two "
             "in [1, 64] (odd sizes hit a ~1000x Mosaic retiling cliff)"
         )
+    if _out_t_enabled():
+        # channels-major store puts HA on the sublane axis: Mosaic
+        # requires the dynamic row-block store offset (ib * rb) to be
+        # provably 8-aligned (real-TPU lowering error, round-3 probe) —
+        # interpret mode can't see this, so clamp everywhere for parity
+        rb = max(rb, 8)
 
     # value images per (level, required orientation); stored orientation
     # is free, the other one is a lane transpose (only mismatched pairs
@@ -1510,6 +1516,11 @@ def windowed_ms_deform_attn_pallas(
                 f"DEFORM_RB={rb}: row-block size must be a power of two "
                 "in [1, 64] (odd sizes hit a ~1000x Mosaic retiling cliff)"
             )
+        if variant == "merged" and nh % 2 == 0 and _out_t_enabled():
+            # channels-major store puts HA on sublanes: the dynamic
+            # row-block store offset must be provably 8-aligned on real
+            # Mosaic (see windowed_ms_deform_attn_cm)
+            rb = max(rb, 8)
         # orientation: put whichever spatial dim wastes fewer padded
         # cells on lanes. The stride-8 level of the flagship 800x1344
         # bucket is (100, 168): normal orientation pads lanes 168 -> 256
