@@ -1,20 +1,29 @@
 #!/usr/bin/env python
-"""Deformable-window accuracy/speed study (VERDICT round-1 item 2).
+"""Deformable-window accuracy/speed study.
 
-Trains the synthetic overfit harness (data/synthetic.py) at several
-``deform_window`` settings with the production ``windowed_pallas`` path
-and reports, per window: the train-loss trajectory (first/last), the
-overfit eval AP on the training images, and the measured per-step time.
-The exact unclamped path (window=None, attn_impl='exact') anchors the
-reference semantics.
+Round-1 mode (default flags): the synthetic OVERFIT harness
+(data/synthetic.py) — train and eval on the same 8 images.
 
-Run on TPU (windows compile the fused kernel) or CPU (interpret mode,
-slow). Results feed the PERF.md window table; the flagship default is
-chosen on this evidence.
+Round-3 mode (``--heldout-images N``): the GENERALIZATION harness
+(VERDICT r2 item 3) — a disjoint held-out split is generated with a
+different seed, and the reported mAP is on images the model never saw.
+With ``--r-range lo hi`` scenes carry varied-size occluding instances,
+so small/medium/large AP buckets are all populated and a receptive-field
+deficit of small windows cannot hide behind memorization. The exact
+unclamped path (``--with-exact``: window=None, attn_impl='exact')
+anchors the reference semantics of mmcv's MultiScaleDeformableAttention
+(/root/reference/configs/instance/coco_b48n17.py:48-58, unclamped
+learned offsets). ``--gtds`` A/Bs the k-strided GT point sampling
+(losses/criterion.py gt_point_downsample) on the same held-out signal.
 
-Usage:
-    python tools/window_study.py [--windows 4 6 8] [--epochs 60]
-        [--out work_dirs/window_study]
+Results feed the PERF.md window table; the flagship default is chosen on
+this evidence.
+
+Usage (the round-3 runbook invocation):
+    python tools/window_study.py --windows 4 8 --with-exact --hw 512 \
+        --epochs 25 --train-images 64 --heldout-images 16 --shapes 10 \
+        --r-range 8 80 --batch 8 --queries 20 --max-instances 12 \
+        --out work_dirs/wstudy512
 """
 
 import argparse
@@ -26,7 +35,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def run_one(window, args, paths):
+def run_one(window, args, paths, val_paths):
     import jax
 
     import betrayed_by_captions_tpu.engine.train_loop as tl
@@ -40,14 +49,19 @@ def run_one(window, args, paths):
     else:
         model_kw = dict(attn_impl=args.attn_impl, deform_window=window)
         tag = f"W{window}-{args.attn_impl}"
+    if args.gtds != 1:
+        tag += f"-gtds{args.gtds}"
 
     cfg = tiny_overfit_config(
         paths, hw=(args.hw, args.hw), epochs=args.epochs, lr=args.lr,
-        **model_kw
+        val_paths=val_paths, num_queries=args.queries,
+        max_instances=args.max_instances, **model_kw
     )
+    cfg.criterion.num_points = args.num_points
+    cfg.criterion.gt_point_downsample = args.gtds
     cfg.data.samples_per_device = max(
-        1, 8 // jax.device_count()
-    )  # global batch 8 regardless of topology
+        1, args.batch // jax.device_count()
+    )  # global batch regardless of topology
 
     # tiny-vocab synthetic BERT (captions are off; the embedder is still
     # constructed by the loop)
@@ -73,17 +87,33 @@ def run_one(window, args, paths):
             rec = json.loads(line)
             if "loss" in rec:
                 losses.append(rec["loss"])
-    metrics = test_loop.evaluate(cfg, state.params)
-    return {
+
+    row = {
         "tag": tag,
         "loss_first": losses[0] if losses else None,
         "loss_last": losses[-1] if losses else None,
         "loss_drop_x": (losses[0] / losses[-1]) if losses else None,
-        "segm_mAP": metrics.get("all_results.segm.mAP"),
-        "bbox_mAP": metrics.get("all_results.bbox.mAP"),
         "steps": len(losses) * 1,  # log_interval=1
-        "sec_per_step": train_time / max(1, args.epochs),
+        "sec_per_step": train_time / max(
+            1, args.epochs * max(1, args.train_images // args.batch)
+        ),
     }
+    metrics = test_loop.evaluate(cfg, state.params)
+    prefix = "heldout" if val_paths is not None else "overfit"
+    for k in ("mAP", "mAP_50", "mAP_s", "mAP_m", "mAP_l"):
+        row[f"{prefix}_segm_{k}"] = metrics.get(f"all_results.segm.{k}")
+    row[f"{prefix}_bbox_mAP"] = metrics.get("all_results.bbox.mAP")
+    row["segm_mAP"] = metrics.get("all_results.segm.mAP")  # legacy key
+    if val_paths is not None and args.eval_train:
+        # train-split eval distinguishes "can't fit" from "can't generalize"
+        cfg_train = tiny_overfit_config(
+            paths, hw=(args.hw, args.hw), epochs=args.epochs, lr=args.lr,
+            num_queries=args.queries, max_instances=args.max_instances,
+            **model_kw
+        )
+        m2 = test_loop.evaluate(cfg_train, state.params)
+        row["train_segm_mAP"] = m2.get("all_results.segm.mAP")
+    return row
 
 
 def main():
@@ -99,6 +129,26 @@ def main():
     # every window covers nearly the whole level, which would trivially
     # hide window-size effects
     ap.add_argument("--hw", type=int, default=128)
+    ap.add_argument("--train-images", type=int, default=8)
+    ap.add_argument("--heldout-images", type=int, default=0,
+                    help="size of a disjoint (seed-offset) eval split; "
+                    "0 = eval on the training images (overfit mode)")
+    ap.add_argument("--shapes", type=int, default=2,
+                    help="instances per image")
+    ap.add_argument("--r-range", type=int, nargs=2, default=None,
+                    help="varied instance radii + random occluding "
+                    "placement (see data/synthetic.py)")
+    ap.add_argument("--batch", type=int, default=8, help="global batch")
+    ap.add_argument("--queries", type=int, default=8)
+    ap.add_argument("--max-instances", type=int, default=4)
+    ap.add_argument("--num-points", type=int, default=256,
+                    help="criterion mask-loss sample points")
+    ap.add_argument("--gtds", type=int, default=1,
+                    help="criterion gt_point_downsample (k-strided GT "
+                    "sampling; flagship configs ship k=4)")
+    ap.add_argument("--no-eval-train", dest="eval_train",
+                    action="store_false",
+                    help="skip the extra train-split eval in held-out mode")
     ap.add_argument(
         "--cpu",
         action="store_true",
@@ -114,25 +164,38 @@ def main():
 
     from betrayed_by_captions_tpu.data.synthetic import write_synthetic_coco
 
-    paths = write_synthetic_coco(
-        os.path.join(args.out, "data"), n_images=8, hw=(args.hw, args.hw),
-        n_classes=2, emb_dim=16, shapes_per_image=2,
+    gen_kw = dict(
+        hw=(args.hw, args.hw), n_classes=2, emb_dim=16,
+        shapes_per_image=args.shapes,
+        r_range=tuple(args.r_range) if args.r_range else None,
     )
+    paths = write_synthetic_coco(
+        os.path.join(args.out, "data"), n_images=args.train_images, **gen_kw
+    )
+    val_paths = None
+    if args.heldout_images:
+        val_paths = write_synthetic_coco(
+            os.path.join(args.out, "data_heldout"),
+            n_images=args.heldout_images, seed=1000, **gen_kw
+        )
 
     rows = []
     runs = ([None] if args.with_exact else []) + list(args.windows)
     for wdw in runs:
-        r = run_one(wdw, args, paths)
+        r = run_one(wdw, args, paths, val_paths)
         rows.append(r)
-        print(json.dumps(r))
+        print(json.dumps(r), flush=True)
     with open(os.path.join(args.out, "window_study.json"), "w") as f:
         json.dump(rows, f, indent=1)
-    print("\n| window | loss first -> last | drop | segm mAP | s/step |")
-    print("|---|---|---|---|---|")
+    prefix = "heldout" if val_paths is not None else "overfit"
+    print(f"\n| window | loss first -> last | drop | {prefix} segm mAP "
+          "| mAP_s | s/step |")
+    print("|---|---|---|---|---|---|")
     for r in rows:
         print(
             f"| {r['tag']} | {r['loss_first']:.2f} -> {r['loss_last']:.2f} "
-            f"| {r['loss_drop_x']:.1f}x | {r['segm_mAP']} "
+            f"| {r['loss_drop_x']:.1f}x | {r[f'{prefix}_segm_mAP']} "
+            f"| {r.get(f'{prefix}_segm_mAP_s')} "
             f"| {r['sec_per_step']:.2f} |"
         )
 
