@@ -446,6 +446,10 @@ def tiny_panoptic_config(
             max_epochs=epochs,
             log_interval=1,
             eval_interval=10 * epochs,
+            # the reference's 4096-px stuff_area_limit assumes COCO-scale
+            # inputs (~0.4% of an 800x1344 image); at 64^2 the whole image
+            # is 4096 px and the grass band (~1300 px) must survive
+            stuff_area_limit=max(16, (hw[0] * hw[1]) // 256),
         )
     )
 

@@ -239,6 +239,10 @@ def _evaluate_panoptic(
                     pad_shape=meta["pad_shape"],
                     object_mask_thr=cfg.get("object_mask_thr", 0.8),
                     iou_thr=cfg.get("iou_thr", 0.8),
+                    filter_low_score=cfg.get("filter_low_score", True),
+                    # reference test_cfg.stuff_area_limit (4096 at COCO
+                    # scale); small-image harnesses must scale it down
+                    stuff_area_limit=cfg.get("stuff_area_limit", 4096),
                 )
 
     ordered = collect_results_cpu(work_dir or ".", local, n, tag="eval_pq")

@@ -71,14 +71,20 @@ def postprocess_panoptic_host(
     weighted = scores[kept, None, None] * probs
     winner = weighted.argmax(axis=0)  # (oh, ow) index into kept
 
+    # two-pass paste (reference maskformer_fusion_head.py:118-158): things
+    # first, then stuff into the remaining void. The iou test uses the
+    # UNFILTERED winner-region area; filter_low_score shrinks only the
+    # pasted thing mask; stuff pastes unfiltered and its area limit
+    # applies to the void-restricted region
     panoptic = np.full((oh, ow), background, np.int64)
     instance_id = 0
+    stuff_list = []
     for ki, qi in enumerate(kept):
         seg = winner == ki
-        if filter_low_score:
-            seg &= probs[ki] >= 0.5
         mask_area = int(seg.sum())
         original_area = int((probs[ki] >= 0.5).sum())
+        if filter_low_score:
+            seg = seg & (probs[ki] >= 0.5)
         if (
             mask_area == 0
             or original_area == 0
@@ -89,6 +95,10 @@ def postprocess_panoptic_host(
         if label < num_things_classes:
             instance_id += 1
             panoptic[seg] = label + instance_id * INSTANCE_OFFSET
-        elif mask_area >= stuff_area_limit:
-            panoptic[seg] = label
+        else:
+            stuff_list.append(ki)
+    for ki in stuff_list:
+        seg = (winner == ki) & (panoptic == background)
+        if int(seg.sum()) >= stuff_area_limit:
+            panoptic[seg] = int(labels[kept[ki]])
     return panoptic

@@ -212,12 +212,12 @@ def panoptic_postprocess_emb(
     winner = jnp.argmax(weighted, axis=0)  # (H, W) query index
     any_valid = jnp.any(keep)
 
-    onehot = winner[None, :, :] == jnp.arange(q)[:, None, None]  # (Q, H, W)
-    seg_mask = onehot & keep[:, None, None]
-    if filter_low_score:
-        seg_mask = seg_mask & (probs >= 0.5)
-
-    mask_area = seg_mask.sum(axis=(1, 2))
+    # pass 1 (reference :118-146): the iou test uses the UNFILTERED
+    # winner-region area; filter_low_score shrinks only the pasted mask
+    onehot = (
+        winner[None, :, :] == jnp.arange(q)[:, None, None]
+    ) & keep[:, None, None]  # (Q, H, W)
+    mask_area = onehot.sum(axis=(1, 2))
     original_area = (probs >= 0.5).sum(axis=(1, 2))
     seg_keep = (
         keep
@@ -225,12 +225,22 @@ def panoptic_postprocess_emb(
         & (original_area > 0)
         & (mask_area >= iou_thr * original_area)
     )
+    paste_mask = onehot & (probs >= 0.5) if filter_low_score else onehot
 
     is_thing = labels < num_things_classes
     thing_keep = seg_keep & is_thing
-    stuff_keep = seg_keep & (~is_thing) & (mask_area >= stuff_area_limit)
+    thing_write = paste_mask & thing_keep[:, None, None]
 
-    # instance ids follow query order among kept things (reference :123-152)
+    # pass 2 (reference :148-158): stuff pastes its UNFILTERED winner
+    # region restricted to still-void pixels; the area limit applies to
+    # that intersection and there is no low-score filter on stuff
+    void_left = ~jnp.any(thing_write, axis=0)  # (H, W)
+    stuff_mask = onehot & void_left[None, :, :]
+    stuff_area = stuff_mask.sum(axis=(1, 2))
+    stuff_keep = seg_keep & (~is_thing) & (stuff_area >= stuff_area_limit)
+    stuff_write = stuff_mask & stuff_keep[:, None, None]
+
+    # instance ids follow query order among pasted things (reference :146)
     instance_id = jnp.cumsum(thing_keep.astype(jnp.int32))  # 1-based at kept
     seg_value = jnp.where(
         thing_keep,
@@ -238,8 +248,9 @@ def panoptic_postprocess_emb(
         jnp.where(stuff_keep, labels, 0),
     ).astype(jnp.int32)
 
-    write = seg_mask & (thing_keep | stuff_keep)[:, None, None]
-    # per-pixel masks are disjoint (argmax), so a masked sum implements
+    write = thing_write | stuff_write
+    # write regions are disjoint (subsets of disjoint argmax regions;
+    # stuff is further restricted to void), so a masked sum implements
     # the reference's sequential pasting exactly
     panoptic = (write.astype(jnp.int32) * seg_value[:, None, None]).sum(axis=0)
     background = jnp.int32(num_classes)

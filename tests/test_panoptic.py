@@ -258,3 +258,108 @@ class TestPanopticEvalLoop:
         for key in ("known_things.pq", "unknown_things.pq", "stuff.pq", "all.pq"):
             assert key in metrics, metrics.keys()
         assert os.path.exists(tmp_path / "eval.json")
+
+
+class TestFusionReferenceOracle:
+    """The device and host panoptic fusions must match a literal numpy
+    transcription of the reference's sequential two-pass paste loop
+    (maskformer_fusion_head.py:102-158): iou tested on the UNFILTERED
+    winner area, filter_low_score shrinking only pasted thing masks,
+    stuff pasted unfiltered into remaining void with the area limit on
+    that intersection."""
+
+    @staticmethod
+    def _oracle(cls_emb, mask_logits, bank, num_things, object_mask_thr,
+                iou_thr, filter_low_score, stuff_area_limit):
+        def softmax(x):
+            e = np.exp(x - x.max(-1, keepdims=True))
+            return e / e.sum(-1, keepdims=True)
+
+        INSTANCE_OFFSET = 1000000
+        scores_full = softmax(cls_emb @ bank.T)
+        num_classes = scores_full.shape[-1] - 1
+        scores, labels = scores_full.max(-1), scores_full.argmax(-1)
+        probs = 1.0 / (1.0 + np.exp(-mask_logits))
+        keep = (labels != num_classes) & (scores > object_mask_thr)
+        h, w = mask_logits.shape[1:]
+        pan = np.full((h, w), num_classes, np.int64)
+        if not keep.any():
+            return pan
+        kept = np.flatnonzero(keep)
+        weighted = scores[kept, None, None] * probs[kept]
+        winner = weighted.argmax(0)
+        instance_id = 1
+        stuff_list = []
+        for ki, qi in enumerate(kept):
+            mask = winner == ki
+            mask_area = int(mask.sum())
+            original_area = int((probs[qi] >= 0.5).sum())
+            if filter_low_score:
+                mask = mask & (probs[qi] >= 0.5)
+            if mask_area > 0 and original_area > 0:
+                if mask_area / original_area < iou_thr:
+                    continue
+                if int(labels[qi]) < num_things:
+                    pan[mask] = labels[qi] + instance_id * INSTANCE_OFFSET
+                    instance_id += 1
+                else:
+                    stuff_list.append(ki)
+        for ki in stuff_list:
+            mask = (winner == ki) & (pan == num_classes)
+            if int(mask.sum()) >= stuff_area_limit:
+                pan[mask] = labels[kept[ki]]
+        return pan
+
+    @pytest.mark.parametrize("filter_low_score", [True, False])
+    def test_device_and_host_match_oracle(self, filter_low_score):
+        import jax.numpy as jnp
+
+        from betrayed_by_captions_tpu.evaluation.osps import (
+            postprocess_panoptic_host,
+        )
+        from betrayed_by_captions_tpu.models.fusion_head import (
+            panoptic_postprocess_emb,
+        )
+
+        rng = np.random.RandomState(3)
+        q, d, h, w, c, num_things = 10, 8, 40, 48, 5, 3
+        for trial in range(5):
+            cls_emb = rng.randn(q, d).astype(np.float32) * 2
+            bank = np.vstack(
+                [rng.randn(c, d).astype(np.float32) * 2, np.zeros((1, d), np.float32)]
+            )
+            # blobby overlapping logits so winner regions and the 0.5
+            # threshold genuinely disagree
+            mask_logits = (
+                rng.randn(q, h, w).astype(np.float32) * 0.5
+            )
+            for qi in range(q):
+                cy, cx = rng.randint(h), rng.randint(w)
+                yy, xx = np.mgrid[:h, :w]
+                r2 = (yy - cy) ** 2 + (xx - cx) ** 2
+                mask_logits[qi] += 8.0 * np.exp(-r2 / (2 * (4 + 6 * rng.rand()) ** 2)) - 2.0
+            kw = dict(
+                num_things_classes=num_things,
+                object_mask_thr=0.3,
+                iou_thr=0.6,
+                filter_low_score=filter_low_score,
+                stuff_area_limit=30,
+            )
+            want = self._oracle(
+                cls_emb, mask_logits, bank, num_things, 0.3, 0.6,
+                filter_low_score, 30,
+            )
+            got_dev = np.asarray(
+                panoptic_postprocess_emb(
+                    jnp.asarray(cls_emb), jnp.asarray(mask_logits),
+                    jnp.asarray(bank), **kw
+                )
+            )
+            got_host = postprocess_panoptic_host(
+                cls_emb, mask_logits, bank,
+                img_shape=(h, w), ori_shape=(h, w), pad_shape=(h, w), **kw
+            )
+            # labels/ids equal up to the instance-id numbering, which both
+            # implementations define identically (paste order) — compare raw
+            np.testing.assert_array_equal(got_dev, want, err_msg=f"device trial {trial}")
+            np.testing.assert_array_equal(got_host, want, err_msg=f"host trial {trial}")
