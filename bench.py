@@ -2,8 +2,10 @@
 
 Measures end-to-end per-image inference of the flagship Mask2Former-Open
 R50 (bf16 compute): backbone -> pixel decoder (6-layer windowed-deformable
-encoder, fused Pallas kernels, 4-cell sampling window — the TPU-first
-semantic documented in models/deformable.py) -> 9-layer masked-attention
+encoder, fused Pallas kernels, 8-cell sampling window — the flagship
+default chosen on held-out accuracy evidence, PERF.md round 9; the
+TPU-first semantic is documented in models/deformable.py; BENCH_WINDOW
+overrides for speed-config A/B runs) -> 9-layer masked-attention
 decoder -> mask upsample to the padded input -> open-vocabulary instance
 post-processing, at the reference's test resolution (1333x800 keep-ratio
 -> 800x1344 padded bucket;
@@ -52,6 +54,9 @@ A100_BASELINE_IPS = 19.4  # est.: mmdet Mask2Former-R50 V100 ~9.7 fps x2
 # throughput-optimal on v5e-1 (27.6 img/s vs 26.0 at batch 8);
 # BENCH_BATCH overrides for sweeps (tools/, PERF.md)
 BATCH = int(os.environ.get("BENCH_BATCH", "16"))
+# flagship sampling window (configs/instance/coco_b48n17.py); 4/6 are the
+# speed-first A/B settings
+WINDOW = int(os.environ.get("BENCH_WINDOW", "8"))
 HW = (800, 1344)
 WARMUP = 3
 ITERS = 8
@@ -100,7 +105,9 @@ value = jnp.asarray(rng.randn(1, s, 2, 8), jnp.float32)
 locs = jnp.asarray(rng.rand(1, s, 2, 3, 4, 2), jnp.float32)
 wgts = jnp.asarray(rng.rand(1, s, 2, 3, 4), jnp.float32)
 out = jax.jit(
-    lambda v, l, w: windowed_ms_deform_attn_pallas(v, shapes, l, w, window=4)
+    lambda v, l, w: windowed_ms_deform_attn_pallas(
+        v, shapes, l, w, window=int(__import__("os").environ.get("BENCH_WINDOW", "8"))
+    )
 )(value, locs, wgts)
 jax.block_until_ready(out)
 float(jnp.asarray(out).ravel()[0])
@@ -227,7 +234,7 @@ def main():
         num_decoder_layers=9,
         use_caption_generation=False,
         attn_impl="windowed_pallas",
-        deform_window=4,
+        deform_window=WINDOW,
         dtype=jnp.bfloat16,
     )
     # random normalized-image-statistics input (see scope note above)

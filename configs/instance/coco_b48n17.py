@@ -27,13 +27,16 @@ model = dict(
     pred_emb_norm=False,
     vocab_size=30522,
     max_caption_len=35,
-    # TPU-first: 4-cell deformable sampling window (offsets clamped to
-    # +-1 cell; see models/deformable.py docstring), fused Pallas kernels
-    # with custom-VJP backward. Chosen on the window-study evidence
-    # (PERF.md round 4: W4 overfits the synthetic harness to the same
-    # mAP as W6/W8 at ~half the kernel cell count); deform_window=6/8
-    # remain supported for A/B runs.
-    deform_window=4,
+    # TPU-first: 8-cell deformable sampling window (offsets clamped to
+    # +-3 cells; see models/deformable.py docstring), fused Pallas kernels
+    # with custom-VJP backward. Chosen on HELD-OUT evidence (PERF.md
+    # round 9, 512^2 occluding scenes, eval on 16 unseen images): W=4
+    # clamps offsets to 1 cell — below the reference compass init's
+    # 4-cell reach — and lags exact-unclamped by ~2x heldout mAP
+    # (0.128 vs 0.236), while W=8 (0.201) is within the harness's
+    # ~+-0.04 run noise of exact and also trains fastest there.
+    # deform_window=4/6 remain supported for speed-first A/B runs.
+    deform_window=8,
     attn_impl="windowed_pallas",
     # rematerialize encoder layers in the backward pass: the 6-layer
     # deformable encoder's activations dominate training HBM at 1024^2

@@ -23,9 +23,10 @@ model = dict(
     frozen_backbone_stages=3,
     use_class_emb=True,
     use_caption_generation=True,
-    # TPU-first: 4-cell deformable sampling window chosen on the
-    # window-study evidence (PERF.md round 4); see models/deformable.py
-    deform_window=4,
+    # TPU-first: 8-cell deformable sampling window chosen on the
+    # held-out window-study evidence (PERF.md round 9); see
+    # models/deformable.py and coco_b48n17.py
+    deform_window=8,
     attn_impl="windowed_pallas",
     remat=True,  # see coco_b48n17.py
 )

@@ -33,7 +33,7 @@ def main():
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--hw", type=int, nargs=2, default=(1024, 1024))
     ap.add_argument("--impl", default="windowed_pallas")
-    ap.add_argument("--window", type=int, default=4)
+    ap.add_argument("--window", type=int, default=8)
     ap.add_argument("--no-remat", action="store_true")
     ap.add_argument(
         "--gt-downsample", type=int, default=4,

@@ -39,7 +39,7 @@ def main():
     ap.add_argument("--hw", type=int, default=1024)
     ap.add_argument("--out", default="work_dirs/soak")
     ap.add_argument("--resume", action="store_true")
-    ap.add_argument("--window", type=int, default=4)
+    ap.add_argument("--window", type=int, default=8)
     ap.add_argument("--cpu", action="store_true",
                     help="tiny CPU smoke (forces hw=64 shapes)")
     args = ap.parse_args()
@@ -63,7 +63,7 @@ def main():
     paths = write_synthetic_coco(
         os.path.join(args.out, "data"), n_images=args.batch,
         hw=(hw, hw), n_classes=2, emb_dim=768, shapes_per_image=4,
-        r_range=(hw // 16, hw // 4), occlude=True,
+        r_range=(hw // 16, hw // 4),  # r_range scenes occlude (synthetic.py)
     )
     # flagship model shape (detector defaults: R50, 100 queries, 9 decoder
     # layers, feat 256, emb 768) on the shipped training knobs
