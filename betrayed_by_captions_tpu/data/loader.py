@@ -30,12 +30,21 @@ class DataLoader:
         prefetch: int = 2,
         process_count: Optional[int] = None,
         process_index: Optional[int] = None,
+        cache_samples: bool = False,
     ):
         """``batch_size`` is the PER-PROCESS (local) batch. Under
         multi-host execution each process iterates a disjoint shard of the
         epoch permutation (reference DistSamplerSeedHook semantics): the
         same seeded shuffle on every process, then strided slicing by
-        process index."""
+        process index.
+
+        ``cache_samples`` memoizes each transformed sample by dataset
+        index across epochs: the first visit pays the host
+        decode/augmentation, later epochs restack cached arrays.  This
+        freezes per-epoch augmentation randomness — use it only where
+        that is the point (sustained-throughput soaks on hosts whose CPU
+        cannot re-augment at chip rate, tools/soak_train.py), never for
+        real training runs."""
         if process_count is None:
             import jax
 
@@ -51,6 +60,7 @@ class DataLoader:
         self.process_count = process_count
         self.process_index = process_index
         self.epoch = 0
+        self._sample_cache: Optional[dict] = {} if cache_samples else None
 
     def __len__(self) -> int:
         n = len(self.dataset) // self.process_count
@@ -84,12 +94,21 @@ class DataLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def fetch(i):
+            cache = self._sample_cache
+            if cache is None:
+                return self.dataset[i]
+            i = int(i)
+            if i not in cache:
+                cache[i] = self.dataset[i]
+            return cache[i]
+
         def produce():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for batch_idx in batches:
                     if stop.is_set():
                         break
-                    samples = list(pool.map(self.dataset.__getitem__, batch_idx))
+                    samples = list(pool.map(fetch, batch_idx))
                     if isinstance(samples[0], dict):
                         batch = {
                             k: np.stack([s[k] for s in samples])

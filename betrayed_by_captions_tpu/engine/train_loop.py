@@ -110,6 +110,7 @@ def train(cfg: Config, work_dir: str, resume: bool = False):
         batch_size=local_batch,
         num_workers=cfg.data.get("workers", 4),
         seed=cfg.get("seed", 0),
+        cache_samples=cfg.data.get("cache_samples", False),
     )
 
     rng = jax.random.PRNGKey(cfg.get("seed", 0))

@@ -199,6 +199,47 @@ class TestDataset:
         assert b["gt_masks"].shape == (2, 8, 128, 128)
         assert b["caption_ids"].shape == (2, 35)
 
+    def test_loader_cache_samples(self):
+        """cache_samples memoizes transformed samples across epochs: each
+        index is fetched from the dataset exactly once (the soak harness
+        relies on this to decouple host augmentation cost from sustained
+        chip throughput, tools/soak_train.py)."""
+
+        class CountingDataset:
+            def __init__(self, n):
+                self.n = n
+                self.calls = {i: 0 for i in range(n)}
+
+            def __len__(self):
+                return self.n
+
+            def __getitem__(self, i):
+                self.calls[int(i)] += 1
+                return {"x": np.full((4,), float(i), np.float32)}
+
+        ds = CountingDataset(6)
+        loader = DataLoader(
+            ds,
+            batch_size=2,
+            num_workers=2,
+            seed=1,
+            cache_samples=True,
+            process_count=1,
+            process_index=0,
+        )
+        epochs = []
+        for epoch in range(3):
+            loader.set_epoch(epoch)
+            epochs.append(list(loader))
+        assert all(v == 1 for v in ds.calls.values()), ds.calls
+        # cached epochs restack the SAME per-index arrays (frozen aug),
+        # while the epoch permutation still reshuffles
+        flat = [
+            sorted(float(b["x"][j, 0]) for b in ep for j in range(2))
+            for ep in epochs
+        ]
+        assert flat[0] == flat[1] == flat[2] == [0.0, 1.0, 2.0, 3.0, 4.0, 5.0]
+
     def test_loader_deterministic_across_worker_counts(self, coco_fixture):
         """Augmentation/caption RNG is per-(seed, epoch, item), so batches
         are identical regardless of thread scheduling or worker count."""

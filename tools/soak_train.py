@@ -83,6 +83,13 @@ def main():
     )
     cfg.data.samples_per_device = max(1, args.batch // jax.device_count())
     cfg.data.train.max_instances = 8
+    # This driver box has very few CPU cores (often 1) and cannot
+    # re-augment batch x 1024^2 images per step — measured 17-22 s of
+    # data_time against a ~5 s chip step, i.e. the soak would time the
+    # host, not sustained chip training.  cache_samples freezes
+    # augmentation after each image's first visit (loader docstring);
+    # the chip-side math is unchanged.
+    cfg.data.cache_samples = True
     cfg.criterion.num_points = 12544
     cfg.criterion.gt_point_downsample = 4
     cfg.optimizer.frozen_backbone_stages = 3  # finetune-config convention
