@@ -102,8 +102,35 @@ class _LNCore(nn.Module):
         return x * scale.reshape(shape) + bias.reshape(shape)
 
 
+class _ProjParams(nn.Module):
+    """Bare (kernel, bias) holder with DenseCM's exact param tree — used
+    where the projection math is written out manually (fused multi-head
+    kernels, custom output orders) but checkpoints must stay
+    interchangeable with the token-layout modules."""
+
+    in_features: int
+    features: int
+    kernel_init: Any = nn.initializers.lecun_normal()
+    bias_init: Any = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        kernel = self.param(
+            "kernel", self.kernel_init, (self.in_features, self.features)
+        )
+        bias = self.param("bias", self.bias_init, (self.features,))
+        return kernel, bias
+
+
 class LayerNormF32CM(nn.Module):
-    """LayerNormF32 over the channel dim of (B, C, *spatial)."""
+    """LayerNormF32 over the channel dim of (B, C, *spatial).
+
+    Both moments are computed from the raw input in ONE multi-output
+    reduce pass (var = E[x^2] - E[x]^2, f32 accumulation) instead of the
+    two dependent passes of the naive formula: the round-3 batch-16 trace
+    showed the sequential mean -> (x-mean)^2 reduction chain plus the f32
+    input materialization at ~21 ms/iter across the encoder's 12 LN
+    applications (~4x the memory-bound floor)."""
 
     eps: float = 1e-5
 
@@ -112,7 +139,8 @@ class LayerNormF32CM(nn.Module):
         orig = x.dtype
         y = x.astype(jnp.float32)
         mean = y.mean(axis=1, keepdims=True)
-        var = ((y - mean) ** 2).mean(axis=1, keepdims=True)
+        msq = jax.lax.square(y).mean(axis=1, keepdims=True)
+        var = jnp.maximum(msq - jax.lax.square(mean), 0.0)
         y = (y - mean) * jax.lax.rsqrt(var + self.eps)
         y = _LNCore(features=x.shape[1], name="ln")(y)
         return y.astype(orig)
@@ -168,64 +196,90 @@ class MSDeformAttentionCM(nn.Module):
     @nn.compact
     def __call__(
         self,
-        queries: Sequence[jnp.ndarray],  # tokens + pos, per level
+        queries: Sequence[jnp.ndarray],  # per level; raw tokens when
+        # ``pos`` is given (the positional term folds into the
+        # offsets/attention projection epilogue), else tokens + pos
         tokens: Sequence[jnp.ndarray],  # raw tokens, per level
         reference_points: Sequence[jnp.ndarray],  # per level (2, eh, ew)
         spatial_shapes: Sequence[Tuple[int, int]],
         orientations: Sequence[bool],
+        pos: Sequence[jnp.ndarray] = None,  # per level (1, C, eh, ew)
     ) -> List[jnp.ndarray]:
         nh, nl, npts = self.num_heads, self.num_levels, self.num_points
         d = self.embed_dim // nh
         w = self.window
+        dt = self.dtype
         assert w is not None, "channels-major path is always windowed"
 
-        value_proj = DenseCM(
-            self.embed_dim, dtype=self.dtype, name="value_proj"
-        )
-        offsets_proj = DenseCM(
-            nh * nl * npts * 2,
-            dtype=self.dtype,
+        kv, bv = _ProjParams(self.embed_dim, self.embed_dim,
+                             name="value_proj")()
+        ko, bo = _ProjParams(
+            self.embed_dim, nh * nl * npts * 2,
             kernel_init=nn.initializers.zeros,
-            bias_init=_compass_offset_init(
-                nh, nl, npts, max_offset=w / 2 - 1
-            ),
+            bias_init=_compass_offset_init(nh, nl, npts,
+                                           max_offset=w / 2 - 1),
             name="sampling_offsets",
-        )
-        attn_proj = DenseCM(
-            nh * nl * npts,
-            dtype=self.dtype,
+        )()
+        ka, ba = _ProjParams(
+            self.embed_dim, nh * nl * npts,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
             name="attention_weights",
-        )
+        )()
         output_proj = DenseCM(
             self.embed_dim, dtype=self.dtype, name="output_proj"
         )
+        # offsets + attention share the query input: ONE fused matmul
+        # (256 -> 288) instead of two narrow ones — the round-3 trace put
+        # the two small-output projections at ~8% MFU each (MXU wants
+        # wide output tiles), plus a second full read of the queries
+        n_off = nh * nl * npts * 2
+        koa = jnp.concatenate([ko, ka], axis=1).astype(dt)
+        boa = jnp.concatenate([bo, ba], axis=0)
 
         values, offsets, attention = [], [], []
         for li in range(nl):
             b = tokens[li].shape[0]
             eh, ew = tokens[li].shape[2:]
-            v = value_proj(tokens[li]).reshape(b, nh, d, eh, ew)
-            # kernel value layout (B, NH, rows=eh, D, lanes=ew):
-            # lanes unchanged -> sublane permute
-            values.append(
-                jnp.transpose(v, (0, 1, 3, 2, 4)).astype(jnp.bfloat16)
+            # value projection STRAIGHT into kernel layout
+            # (B, NH, rows=eh, D, lanes=ew): the (nh, d) split and the
+            # eh<->d sublane swap ride the matmul's output write instead
+            # of a separate 0.9 ms/layer relayout copy (round-3 trace,
+            # deformable_cm.py:209)
+            v = jnp.einsum(
+                "bchw,cnd->bnhdw",
+                tokens[li],
+                kv.astype(dt).reshape(self.embed_dim, nh, d),
             )
+            v = v + bv.astype(v.dtype).reshape(1, nh, 1, d, 1)
+            values.append(v.astype(jnp.bfloat16))
 
-            offs = offsets_proj(queries[li]).reshape(
-                b, nh, nl, npts, 2, eh, ew
-            ).astype(jnp.float32)
+            oa = jnp.einsum("bchw,ce->behw", queries[li], koa)
+            oa = oa + boa.astype(oa.dtype).reshape(1, -1, 1, 1)
+            if pos is not None:
+                # positional term folded into the projection epilogue:
+                # pos is batch-constant, so pos @ K is a small (E, eh, ew)
+                # plane and the (tokens + pos) materialization (a full
+                # 2-pass read/write of the activations per layer,
+                # ~7 ms/iter in the round-3 trace) never happens
+                oa = oa + jnp.einsum(
+                    "bchw,ce->behw", pos[li].astype(dt), koa
+                )
+
             # window clamp (see models/deformable.py docstring); kept in
             # CELL units — the op folds reference scaling, anchors and
             # the final window clip into its packed-plane write, so the
             # normalized-locations tensor never materializes. bf16
             # storage: learned offsets at 0.4% relative error, below the
-            # op's int16 plane quantization noise floor.
+            # op's int16 plane quantization noise floor. The clip runs in
+            # the projection dtype directly (the bounds are exact in
+            # bf16) — the old f32 round-trip materialized an extra f32
+            # copy of the offsets every layer.
+            offs = oa[:, :n_off].reshape(b, nh, nl, npts, 2, eh, ew)
             offs = jnp.clip(offs, -(w / 2 - 1), w / 2 - 1)
             offsets.append(offs.astype(jnp.bfloat16))
 
-            at = attn_proj(queries[li]).reshape(b, nh, nl * npts, eh, ew)
+            at = oa[:, n_off:].reshape(b, nh, nl * npts, eh, ew)
             at = nn.softmax(at.astype(jnp.float32), axis=2)
             attention.append(
                 at.reshape(b, nh, nl, npts, eh, ew).astype(self.dtype)
@@ -269,7 +323,8 @@ class EncoderLayerCM(nn.Module):
 
     @nn.compact
     def __call__(self, tokens, pos, reference_points):
-        queries = tuple(t + p for t, p in zip(tokens, pos))
+        # pos folds into the offsets/attention projection inside the attn
+        # module (queries = tokens + pos never materializes)
         attn_out = MSDeformAttentionCM(
             embed_dim=self.embed_dim,
             num_heads=self.num_heads,
@@ -279,11 +334,12 @@ class EncoderLayerCM(nn.Module):
             dtype=self.dtype,
             name="attn",
         )(
-            queries,
+            tokens,
             tokens,
             reference_points,
             self.spatial_shapes,
             self.orientations,
+            pos=pos,
         )
         norm1 = LayerNormF32CM(name="norm1")
         ffn = FFNCM(self.ffn_dim, self.embed_dim, dtype=self.dtype, name="ffn")
