@@ -166,13 +166,23 @@ def probe_and_pick_config():
             return overrides
         if status in ("backend", "timeout"):
             if time.time() + PROBE_RETRY_SLEEP > deadline:
+                # Exit FAST: a full-model trace cannot succeed on a dead
+                # backend and would eat whatever driver time remains (a
+                # late tunnel recovery is better spent re-running bench
+                # from scratch).  One line says why there is no number.
                 print(
-                    "bench: backend unavailable past probe budget; "
-                    "proceeding with current config and hoping",
+                    "bench: backend unavailable for the whole "
+                    f"{PROBE_BUDGET:.0f}s probe budget; exiting without "
+                    "a measurement (last probe output tail follows)",
                     file=sys.stderr,
                     flush=True,
                 )
-                return overrides
+                print(
+                    "\n".join(str(out).strip().splitlines()[-8:]),
+                    file=sys.stderr,
+                    flush=True,
+                )
+                sys.exit(3)
             print(
                 f"bench: backend unavailable ({status}); retrying in "
                 f"{PROBE_RETRY_SLEEP:.0f}s",
