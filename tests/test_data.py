@@ -272,6 +272,52 @@ class TestDataset:
             not np.array_equal(ba["image"], bc["image"]) for ba, bc in zip(a, c)
         )
 
+    def test_loader_process_workers_match_threads(self, coco_fixture):
+        """Forked process workers (the default — the per-sample transform
+        work is GIL-bound, round-3 soak data_time 17-22 s vs ~5 s chip
+        step) produce bit-identical batches to the thread path: sample
+        RNG is stateless per (seed, epoch, idx)."""
+        from betrayed_by_captions_tpu.data.transforms import TrainTransform
+
+        def run(worker_type):
+            ds = CocoDatasetOpen(
+                coco_fixture["inst"],
+                img_prefix=coco_fixture["root"],
+                caption_ann_file=coco_fixture["caps"],
+                known_file=coco_fixture["known"],
+                unknown_file=coco_fixture["unknown"],
+                train_transform=TrainTransform(
+                    image_size=(128, 128), max_instances=8
+                ),
+                seed=3,
+            )
+            loader = DataLoader(
+                ds, batch_size=2, num_workers=2, seed=1,
+                worker_type=worker_type,
+            )
+            loader.set_epoch(2)
+            return list(loader)
+
+        a, b = run("process"), run("thread")
+        assert len(a) == len(b) and len(a) > 0
+        for ba, bb in zip(a, b):
+            for k in ba:
+                np.testing.assert_array_equal(ba[k], bb[k], err_msg=k)
+
+    def test_loader_cache_refuses_large_datasets(self):
+        class Big:
+            def __len__(self):
+                return 5000
+
+            def __getitem__(self, i):
+                return {"x": np.zeros(1, np.float32)}
+
+        with pytest.raises(ValueError, match="cache_samples"):
+            DataLoader(
+                Big(), batch_size=2, num_workers=1, cache_samples=True,
+                process_count=1, process_index=0,
+            )
+
     def test_class_balanced_wrapper(self, coco_fixture):
         ds = CocoDatasetOpen(
             coco_fixture["inst"],
