@@ -187,11 +187,16 @@ def train(cfg: Config, work_dir: str, resume: bool = False):
             if cfg.get("log_device_memory", False):
                 import json
 
-                stats = (
-                    getattr(
-                        jax.local_devices()[0], "memory_stats", lambda: None
-                    )()
-                    or {}
+                dev = jax.local_devices()[0]
+                stats = getattr(dev, "memory_stats", lambda: None)() or {}
+                # allocator telemetry is unavailable through the axon
+                # tunnel (round-3 soak recorded 89 lines of nulls) — fall
+                # back to the client-side live-buffer total, which is the
+                # series a device-reference leak actually moves
+                live = sum(
+                    x.nbytes
+                    for x in jax.live_arrays()
+                    if dev in getattr(x, "devices", lambda: ())()
                 )
                 with open(os.path.join(work_dir, "hbm.jsonl"), "a") as f:
                     f.write(
@@ -202,6 +207,7 @@ def train(cfg: Config, work_dir: str, resume: bool = False):
                                 "peak_bytes_in_use": stats.get(
                                     "peak_bytes_in_use"
                                 ),
+                                "live_buffer_bytes": int(live),
                             }
                         )
                         + "\n"

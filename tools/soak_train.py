@@ -141,16 +141,28 @@ def analyze_soak(out_dir, batch, wall=0.0, stats=None):
             if "time" in rec:  # per-step synced wall time (log_interval=1)
                 times.append(float(rec["time"]))
 
-    # HBM creep: steady-state bytes_in_use must not grow epoch over epoch
+    # HBM creep: steady-state bytes_in_use must not grow epoch over epoch.
+    # bytes_in_use comes from the device allocator when available; via the
+    # axon tunnel it is null, so live_buffer_bytes (client-side live
+    # device-array total — the series a reference leak moves) is the
+    # fallback.  A series with NO usable values fails the soak: dead
+    # telemetry must not pass silently (round-3 verdict).
     hbm_first = hbm_last = None
+    hbm_dead = False
     hbm_path = os.path.join(out_dir, "hbm.jsonl")
     if os.path.exists(hbm_path):
         with open(hbm_path) as f:
             recs = [json.loads(x) for x in f if x.strip()]
-        vals = [r["bytes_in_use"] for r in recs if r.get("bytes_in_use")]
+        vals = [
+            r.get("bytes_in_use") or r.get("live_buffer_bytes")
+            for r in recs
+        ]
+        vals = [v for v in vals if v]
         if len(vals) >= 5:
             # skip the first 2 epochs (allocator warmup)
             hbm_first, hbm_last = vals[2], vals[-1]
+        elif len(recs) >= 5:
+            hbm_dead = True
 
     # exclude the first 3 steps (compile + warmup) from stability stats
     steady = sorted(times[3:]) if len(times) > 10 else sorted(times)
@@ -176,12 +188,14 @@ def analyze_soak(out_dir, batch, wall=0.0, stats=None):
         "hbm_creep": (
             round(hbm_last / hbm_first - 1, 4) if hbm_first else None
         ),
+        "hbm_telemetry_dead": hbm_dead,
     }
     ok = (
         report["loss_finite"]
         and last < first
         and (report["step_p90_over_p50"] or 10) < 1.5
         and (report["hbm_creep"] is None or report["hbm_creep"] < 0.02)
+        and not hbm_dead
     )
     return report, ok
 
