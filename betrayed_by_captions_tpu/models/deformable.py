@@ -50,23 +50,46 @@ from ..ops.deform_attn import ms_deform_attn
 Dtype = Any
 
 
+def window_per_level(
+    window, num_levels: int
+) -> "tuple[float | None, ...]":
+    """Normalize the ``window`` config (int, per-level tuple, or None)
+    to one window per sampling level.  A per-level tuple (e.g.
+    ``(8, 6, 4)`` for value strides (8, 16, 32)) keeps the clamp reach
+    roughly constant in PIXELS — (W/2-1) cells x value stride — at far
+    fewer dense cells than a uniform largest window (116 vs 192 at
+    W=(8,6,4); NEXT r3 item 3)."""
+    if window is None or isinstance(window, (int, float)):
+        return (window,) * num_levels
+    ws = tuple(window)
+    if len(ws) != num_levels:
+        raise ValueError(
+            f"per-level window {ws} must have {num_levels} entries"
+        )
+    return ws
+
+
 def _compass_offset_init(
     num_heads: int,
     num_levels: int,
     num_points: int,
-    max_offset: float = None,
+    max_offset=None,
 ):
     """Bias init for sampling offsets: unit compass directions per head,
     scaled by (point index + 1). With a ``max_offset`` below num_points
     (tight sampling windows), the ladder is rescaled so the outermost
-    point starts at the clamp boundary instead of collapsing onto it."""
+    point starts at the clamp boundary instead of collapsing onto it.
+    ``max_offset`` may be per-level (sequence of length num_levels)."""
     thetas = np.arange(num_heads, dtype=np.float64) * (2 * math.pi / num_heads)
     grid = np.stack([np.cos(thetas), np.sin(thetas)], axis=-1)  # (H, 2)
     grid = grid / np.abs(grid).max(axis=-1, keepdims=True)
     grid = np.tile(grid[:, None, None, :], (1, num_levels, num_points, 1))
     scale = np.arange(1, num_points + 1, dtype=np.float64)[None, None, :, None]
-    if max_offset is not None and max_offset < num_points:
-        scale = scale * (max_offset / num_points)
+    scale = np.tile(scale, (1, num_levels, 1, 1))
+    if max_offset is not None:
+        for li, mo in enumerate(window_per_level(max_offset, num_levels)):
+            if mo is not None and mo < num_points:
+                scale[:, li] *= mo / num_points
     grid = grid * scale
     flat = grid.reshape(-1).astype(np.float32)
 
@@ -101,7 +124,10 @@ class MSDeformAttention(nn.Module):
     num_levels: int = 3
     num_points: int = 4
     attn_impl: str = "exact"  # exact | windowed | windowed_pallas
-    window: int | None = 8  # None = reference-faithful unclamped (exact only)
+    # int, per-level tuple (e.g. (8, 6, 4): constant clamp reach in
+    # PIXELS across value strides), or None = reference-faithful
+    # unclamped (exact only)
+    window: Any = 8
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -124,7 +150,12 @@ class MSDeformAttention(nn.Module):
                 "window=None (unclamped reference semantics) requires "
                 f"attn_impl='exact'; got {self.attn_impl!r}"
             )
-        max_offset = None if self.window is None else self.window / 2 - 1
+        wins = window_per_level(self.window, nl)
+        max_offset = (
+            None
+            if self.window is None
+            else tuple(w / 2 - 1 for w in wins)
+        )
         offsets = nn.Dense(
             nh * nl * npts * 2,
             dtype=self.dtype,
@@ -143,11 +174,17 @@ class MSDeformAttention(nn.Module):
         attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
         attn = attn.reshape(b, s, nh, nl, npts)
 
-        # clamp offsets into the sampling window (see module docstring);
-        # window=None keeps the reference's unclamped semantics
+        # clamp offsets into each level's sampling window (see module
+        # docstring); window=None keeps the reference's unclamped
+        # semantics.  With a per-level window, clamped offsets never
+        # leave level l's W_l window, so running the dense kernel at
+        # max(W_l) is numerically identical to a true mixed-window
+        # kernel (the outer cells carry zero tent weight).
         offsets = offsets.astype(jnp.float32)
         if self.window is not None:
-            clamp = self.window / 2 - 1
+            clamp = jnp.asarray(
+                [w / 2 - 1 for w in wins], jnp.float32
+            ).reshape(1, 1, 1, nl, 1, 1)
             offsets = jnp.clip(offsets, -clamp, clamp)
 
         # normalize offsets by each sampling level's (w, h)
@@ -165,13 +202,15 @@ class MSDeformAttention(nn.Module):
             )
 
             out = windowed_ms_deform_attn_pallas(
-                v, spatial_shapes, locations, attn, window=self.window
+                v, spatial_shapes, locations, attn,
+                window=int(max(wins)),
             )
         elif self.attn_impl == "windowed":
             from ..ops.deform_attn_windowed import windowed_ms_deform_attn
 
             out = windowed_ms_deform_attn(
-                v, spatial_shapes, locations, attn, window=self.window
+                v, spatial_shapes, locations, attn,
+                window=int(max(wins)),
             )
         else:
             assert self.attn_impl == "exact", self.attn_impl

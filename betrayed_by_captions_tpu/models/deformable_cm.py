@@ -43,7 +43,7 @@ from ..ops.deform_attn_windowed_pallas import (
     _round_up,
     windowed_ms_deform_attn_pallas_cm,
 )
-from .deformable import _compass_offset_init
+from .deformable import _compass_offset_init, window_per_level
 
 Dtype = Any
 
@@ -190,7 +190,7 @@ class MSDeformAttentionCM(nn.Module):
     num_heads: int = 8
     num_levels: int = 3
     num_points: int = 4
-    window: int = 8
+    window: Any = 8  # int or per-value-level tuple, e.g. (8, 6, 4)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -207,17 +207,22 @@ class MSDeformAttentionCM(nn.Module):
     ) -> List[jnp.ndarray]:
         nh, nl, npts = self.num_heads, self.num_levels, self.num_points
         d = self.embed_dim // nh
-        w = self.window
+        assert self.window is not None, (
+            "channels-major path is always windowed"
+        )
+        wins = window_per_level(self.window, nl)
+        w = int(max(wins))  # dense kernel window; per-level clamps below
         dt = self.dtype
-        assert w is not None, "channels-major path is always windowed"
 
         kv, bv = _ProjParams(self.embed_dim, self.embed_dim,
                              name="value_proj")()
         ko, bo = _ProjParams(
             self.embed_dim, nh * nl * npts * 2,
             kernel_init=nn.initializers.zeros,
-            bias_init=_compass_offset_init(nh, nl, npts,
-                                           max_offset=w / 2 - 1),
+            bias_init=_compass_offset_init(
+                nh, nl, npts,
+                max_offset=tuple(wl / 2 - 1 for wl in wins),
+            ),
             name="sampling_offsets",
         )()
         ka, ba = _ProjParams(
@@ -276,7 +281,14 @@ class MSDeformAttentionCM(nn.Module):
             # bf16) — the old f32 round-trip materialized an extra f32
             # copy of the offsets every layer.
             offs = oa[:, :n_off].reshape(b, nh, nl, npts, 2, eh, ew)
-            offs = jnp.clip(offs, -(w / 2 - 1), w / 2 - 1)
+            # per-value-level clamp: with mixed windows (e.g. (8, 6, 4))
+            # offsets for level l never leave W_l, so the dense
+            # max-window kernel is numerically identical to a true
+            # mixed-window kernel (outer cells get zero tent weight)
+            clamp = jnp.asarray(
+                [wl / 2 - 1 for wl in wins], offs.dtype
+            ).reshape(1, 1, nl, 1, 1, 1, 1)
+            offs = jnp.clip(offs, -clamp, clamp)
             offsets.append(offs.astype(jnp.bfloat16))
 
             at = oa[:, n_off:].reshape(b, nh, nl * npts, eh, ew)
@@ -318,7 +330,7 @@ class EncoderLayerCM(nn.Module):
     num_levels: int = 3
     num_points: int = 4
     ffn_dim: int = 1024
-    window: int = 8
+    window: Any = 8
     dtype: Dtype = jnp.float32
 
     @nn.compact

@@ -48,7 +48,7 @@ class Mask2FormerOpen(nn.Module):
     learnable_temperature: bool = False
     softmax_temperature_init: float = 10.0
     attn_impl: str = "exact"
-    deform_window: int | None = 8
+    deform_window: Any = 8  # int, per-level tuple, or None
     # rematerialize encoder layers in training backward (see pixel_decoder)
     remat: bool = False
     dtype: Dtype = jnp.float32

@@ -56,7 +56,7 @@ class Mask2FormerHeadOpen(nn.Module):
     learnable_temperature: bool = False
     softmax_temperature_init: float = 10.0
     attn_impl: str = "exact"
-    deform_window: int = 8
+    deform_window: Any = 8  # int or per-value-level tuple
     remat: bool = False
     dtype: Dtype = jnp.float32
 

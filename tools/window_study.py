@@ -35,7 +35,15 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def run_one(window, args, paths, val_paths):
+def _parse_window(spec):
+    """'8' -> 8; '8,6,4' -> (8, 6, 4) (per-value-level mixed window)."""
+    if isinstance(spec, int) or spec is None:
+        return spec
+    parts = [int(x) for x in str(spec).split(",")]
+    return parts[0] if len(parts) == 1 else tuple(parts)
+
+
+def run_one(window, args, paths, val_paths, seed=0):
     import jax
 
     import betrayed_by_captions_tpu.engine.train_loop as tl
@@ -48,15 +56,23 @@ def run_one(window, args, paths, val_paths):
         tag = "exact-unclamped"
     else:
         model_kw = dict(attn_impl=args.attn_impl, deform_window=window)
-        tag = f"W{window}-{args.attn_impl}"
+        wtag = (
+            "x".join(str(x) for x in window)
+            if isinstance(window, tuple)
+            else str(window)
+        )
+        tag = f"W{wtag}-{args.attn_impl}"
     if args.gtds != 1:
         tag += f"-gtds{args.gtds}"
+    if seed:
+        tag += f"-s{seed}"
 
     cfg = tiny_overfit_config(
         paths, hw=(args.hw, args.hw), epochs=args.epochs, lr=args.lr,
         val_paths=val_paths, num_queries=args.queries,
         max_instances=args.max_instances, **model_kw
     )
+    cfg["seed"] = seed  # model init + loader shuffle (train_loop)
     cfg.criterion.num_points = args.num_points
     cfg.criterion.gt_point_downsample = args.gtds
     cfg.data.samples_per_device = max(
@@ -118,7 +134,13 @@ def run_one(window, args, paths, val_paths):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--windows", type=int, nargs="+", default=[4, 6, 8])
+    ap.add_argument("--windows", type=_parse_window, nargs="+",
+                    default=[4, 6, 8],
+                    help="ints or comma tuples ('8,6,4' = per-value-level "
+                    "mixed window)")
+    ap.add_argument("--seeds", type=int, default=1,
+                    help="repeat each impl with seeds 0..N-1 (same data; "
+                    "model init + shuffle vary) and report mean/sd")
     ap.add_argument("--with-exact", action="store_true",
                     help="also run the unclamped exact reference path")
     ap.add_argument("--epochs", type=int, default=60)
@@ -181,13 +203,44 @@ def main():
 
     rows = []
     runs = ([None] if args.with_exact else []) + list(args.windows)
-    for wdw in runs:
-        r = run_one(wdw, args, paths, val_paths)
-        rows.append(r)
-        print(json.dumps(r), flush=True)
-    with open(os.path.join(args.out, "window_study.json"), "w") as f:
-        json.dump(rows, f, indent=1)
+    out_json = os.path.join(args.out, "window_study.json")
+    for seed in range(args.seeds):
+        for wdw in runs:
+            r = run_one(wdw, args, paths, val_paths, seed=seed)
+            r["seed"] = seed
+            rows.append(r)
+            print(json.dumps(r), flush=True)
+            with open(out_json, "w") as f:  # incremental: runs are long
+                json.dump(rows, f, indent=1)
     prefix = "heldout" if val_paths is not None else "overfit"
+
+    if args.seeds > 1:
+        # mean +- sd per impl (strip the -sN suffix)
+        import numpy as np
+
+        by_impl = {}
+        for r in rows:
+            base = r["tag"].split("-s")[0]
+            by_impl.setdefault(base, []).append(r)
+        print(f"\n| impl | {prefix} segm mAP (mean+-sd over "
+              f"{args.seeds} seeds) | mAP_50 | mAP_m |")
+        print("|---|---|---|---|")
+        for base, rs in by_impl.items():
+            def ms(key):
+                vals = [
+                    r[key] for r in rs if r.get(key) is not None
+                ]
+                return (
+                    f"{np.mean(vals):.3f}+-{np.std(vals):.3f}"
+                    if vals
+                    else "n/a"
+                )
+
+            print(
+                f"| {base} | {ms(f'{prefix}_segm_mAP')} "
+                f"| {ms(f'{prefix}_segm_mAP_50')} "
+                f"| {ms(f'{prefix}_segm_mAP_m')} |"
+            )
     print(f"\n| window | loss first -> last | drop | {prefix} segm mAP "
           "| mAP_s | s/step |")
     print("|---|---|---|---|---|---|")
