@@ -55,8 +55,14 @@ A100_BASELINE_IPS = 19.4  # est.: mmdet Mask2Former-R50 V100 ~9.7 fps x2
 # BENCH_BATCH overrides for sweeps (tools/, PERF.md)
 BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 # flagship sampling window (configs/instance/coco_b48n17.py); 4/6 are the
-# speed-first A/B settings
-WINDOW = int(os.environ.get("BENCH_WINDOW", "8"))
+# speed-first A/B settings; a comma tuple ("8,6,4") selects per-value-
+# level mixed windows (constant clamp reach in pixels across strides)
+_wspec = os.environ.get("BENCH_WINDOW", "8")
+WINDOW = (
+    int(_wspec)
+    if "," not in _wspec
+    else tuple(int(x) for x in _wspec.split(","))
+)
 HW = (800, 1344)
 WARMUP = 3
 ITERS = 8
@@ -73,12 +79,21 @@ PROBE_TIMEOUT = float(os.environ.get("BENCH_PROBE_TIMEOUT", "300"))
 # the environment says (defaults shown); later stages progressively
 # revert the newest kernel features.  The probe walks down until one
 # compiles on the real backend.
-_KNOBS = ("DEFORM_COMPACT", "DEFORM_COORD16", "DEFORM_OUT_T", "DEFORM_HP")
+_KNOBS = (
+    "DEFORM_COMPACT",
+    "DEFORM_COORD16",
+    "DEFORM_OUT_T",
+    "DEFORM_HP",
+    "DEFORM_SPARSE",
+)
 CONFIG_LADDER = [
-    {},  # as configured (compact preps + int16 coords + out_t + hp=2)
-    {"DEFORM_COORD16": "0"},
-    {"DEFORM_COMPACT": "0", "DEFORM_COORD16": "0"},
+    {},  # as configured (sparse cell masks + compact preps + int16
+    # coords + out_t + hp=2)
+    {"DEFORM_SPARSE": "0"},  # newest feature first off
+    {"DEFORM_SPARSE": "0", "DEFORM_COORD16": "0"},
+    {"DEFORM_SPARSE": "0", "DEFORM_COMPACT": "0", "DEFORM_COORD16": "0"},
     {
+        "DEFORM_SPARSE": "0",
         "DEFORM_COMPACT": "0",
         "DEFORM_COORD16": "0",
         "DEFORM_OUT_T": "0",
@@ -104,9 +119,11 @@ rng = np.random.RandomState(0)
 value = jnp.asarray(rng.randn(1, s, 2, 8), jnp.float32)
 locs = jnp.asarray(rng.rand(1, s, 2, 3, 4, 2), jnp.float32)
 wgts = jnp.asarray(rng.rand(1, s, 2, 3, 4), jnp.float32)
+_ws = __import__("os").environ.get("BENCH_WINDOW", "8")
+_win = int(_ws) if "," not in _ws else tuple(int(x) for x in _ws.split(","))
 out = jax.jit(
     lambda v, l, w: windowed_ms_deform_attn_pallas(
-        v, shapes, l, w, window=int(__import__("os").environ.get("BENCH_WINDOW", "8"))
+        v, shapes, l, w, window=_win
     )
 )(value, locs, wgts)
 jax.block_until_ready(out)

@@ -203,7 +203,7 @@ class MSDeformAttention(nn.Module):
 
             out = windowed_ms_deform_attn_pallas(
                 v, spatial_shapes, locations, attn,
-                window=int(max(wins)),
+                window=tuple(int(x) for x in wins),
             )
         elif self.attn_impl == "windowed":
             from ..ops.deform_attn_windowed import windowed_ms_deform_attn

@@ -304,7 +304,7 @@ class MSDeformAttentionCM(nn.Module):
             offsets,
             reference_points,
             attention,
-            window=w,
+            window=tuple(int(x) for x in wins),
         )
         results = []
         for li, o in enumerate(outs):

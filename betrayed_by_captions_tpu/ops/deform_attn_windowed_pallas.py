@@ -256,32 +256,53 @@ def _finer_slab(v_ref, bi, h, row0, rb, d, col0, wpad):
 
 def _merged_kernel_packed(
     *refs,
-    window: int,
     rb: int,
     ha: int,
     d: int,
     p: int,
     wpad: int,
-    level_cfgs: Tuple[Tuple[str, int, int], ...],  # (mode, k, phase_rows)
+    # (mode, k, phase_rows, window) per value level: the window may
+    # differ per level (mixed windows, e.g. (8, 6, 4) over value strides
+    # (8, 16, 32) — constant clamp reach in pixels at 116 instead of 192
+    # dense cells)
+    level_cfgs: Tuple[Tuple[str, int, int, int], ...],
     hp: int,
     out_t: bool = False,  # store (D, HA, WPAD) channels-major per head
+    sparse: bool = False,  # data-dependent cell-liveness skipping
 ):
     """All value levels of one query level in ONE kernel launch.
 
-    refs = (v_0..v_{nl-1}, fx_0.., fy_0.., at_0.., o_ref). Fixed
+    refs = (v_0..v_{nl-1}, fx_0.., fy_0.., at_0.., [masks,] o_ref). Fixed
     per-``pallas_call`` cost measured at ~0.6 ms on v5e through 9
     pair-launches per encoder layer; merging the value levels into one
     launch per query level (3 total) removes ~2/3 of it AND keeps the
     cross-level accumulator in registers instead of materializing three
     (B, H, HA, D, WPAD) partial outputs that XLA then adds.
+
+    With ``sparse``, an SMEM mask (one int32 word per (row block, value
+    level, window column); bit r = 'some query in this row block has
+    bilinear tent support in cell (r, c)') predicates each column and
+    each cell of the loop via lax.cond: P=4 points touch at most 16 of
+    64 dense cells per (query, head, level) at W=8, so the dense loop
+    pays up to 4x the necessary slab FMAs. Masks are built from min/max
+    coordinate rectangles per (head, point) over the row block — exact
+    whenever offsets are block-constant, conservative otherwise, so the
+    output is ALWAYS identical to the dense loop (skipped cells carry
+    zero tent weight for every query in the block). The counterpart
+    dense cost lives in the reference's mmcv ms_deform_attn CUDA kernel
+    (P=4 gather points, no window).
     """
     nl = len(level_cfgs)
     v_refs = refs[:nl]
     fx_refs = refs[nl : 2 * nl]
     fy_refs = refs[2 * nl : 3 * nl]
     at_refs = refs[3 * nl : 4 * nl]
-    o_ref = refs[4 * nl]
-    w = window
+    if sparse:
+        mask_ref = refs[4 * nl]
+        o_ref = refs[4 * nl + 1]
+    else:
+        mask_ref = None
+        o_ref = refs[4 * nl]
 
     # compact levels get VMEM scratch holding the expanded / padded /
     # phase-decimated image(s); scratch refs follow the output ref in
@@ -295,18 +316,25 @@ def _merged_kernel_packed(
         elif cfg[0] == "finer_raw":
             scr_idx[li] = n_scr
             n_scr += cfg[1]
-    scr_refs = refs[4 * nl + 1 : 4 * nl + 1 + n_scr]
+    ref0 = 4 * nl + (2 if sparse else 1)
+    scr_refs = refs[ref0 : ref0 + n_scr]
+    # static word offset of each level's column words in the mask row
+    word_offs = []
+    _wo = 0
+    for (_m, _k, _pr, _wl) in level_cfgs:
+        word_offs.append(_wo)
+        _wo += _wl
 
     cellmaps = [
         {
             (r, c): (ph, ro, co)
             for (r, c, ph, ro, co) in _cell_table(
-                "same" if mode == "same_raw" else mode, k, window
+                "same" if mode == "same_raw" else mode, k, wl
             )
         }
         if mode in ("same", "same_raw", "coarser", "finer")
         else None
-        for (mode, k, phase_rows) in level_cfgs
+        for (mode, k, phase_rows, wl) in level_cfgs
     ]
 
     # Per grid step, build the padded/expanded value images ONCE in VMEM
@@ -320,14 +348,14 @@ def _merged_kernel_packed(
     #   matrix (zero lane margins fall out of the matmul); row margins
     #   are explicit zero stores (row offsets are untiled, so the image
     #   body stores at its offset for free).
-    pad_w = window // 2
-    for li, (mode, k, phase_rows) in enumerate(level_cfgs):
+    for li, (mode, k, phase_rows, wl) in enumerate(level_cfgs):
         if mode not in ("coarser_small", "same_raw", "finer_raw"):
             continue
+        pad_w = wl // 2
         v_ref = v_refs[li]
         rows_s, cols_s = v_ref.shape[2], v_ref.shape[4]
         n_phase = k if mode == "finer_raw" else 1
-        mt = _finer_margin(k, w) if mode == "finer_raw" else 0
+        mt = _finer_margin(k, wl) if mode == "finer_raw" else 0
         mt_r = (
             max(0, pad_w - 1 - (k - 1) // 2) if mode == "finer_raw" else pad_w
         )
@@ -371,7 +399,7 @@ def _merged_kernel_packed(
     def row_block(ib, _):
         i = ib * rb
         accs = [jnp.zeros((rb, d, wpad), jnp.float32) for _ in range(hp)]
-        for li, (mode, k, phase_rows) in enumerate(level_cfgs):
+        for li, (mode, k, phase_rows, w) in enumerate(level_cfgs):
             v_ref = v_refs[li]
             cellmap = cellmaps[li]
             fx = fx_refs[li][0, 0, pl.ds(i, rb)]  # (rb, HP*P, WPAD)
@@ -394,112 +422,153 @@ def _merged_kernel_packed(
                 span = w + pat[-1]
             else:
                 span = rb
+            woff = word_offs[li]
             for c in range(w):
-                tx = jnp.maximum(0.0, 1.0 - jnp.abs(fx - c))
-                cws = []
-                for r in range(w):
-                    m = wys[r] * tx
-                    cws.append(
-                        [
-                            jnp.sum(
-                                m[:, h * p : (h + 1) * p],
-                                axis=1,
-                                keepdims=True,
-                            ).astype(jnp.bfloat16)
+                wd = (
+                    mask_ref[0, 0, ib, woff + c] if sparse else None
+                )
+
+                def col_fn(accs_t, _c=c, _wd=wd):
+                    c = _c
+                    tx = jnp.maximum(0.0, 1.0 - jnp.abs(fx - c))
+                    cws = []
+                    for r in range(w):
+                        m = wys[r] * tx
+                        cws.append(
+                            [
+                                jnp.sum(
+                                    m[:, h * p : (h + 1) * p],
+                                    axis=1,
+                                    keepdims=True,
+                                ).astype(jnp.bfloat16)
+                                for h in range(hp)
+                            ]
+                        )
+                    if mode in ("same", "same_raw"):
+                        row_lo = i + 1
+                        col0 = c + 1
+                    elif mode == "coarser":
+                        row_lo = i + k - k // 2
+                        col0 = k * (c + 1) - k // 2
+                    elif mode == "coarser_small":
+                        # big row t = i + ceil(k/2) + k*r + j reads small
+                        # row t // k = i // k + r + pat[j]; i // k is
+                        # exact because rb % k == 0 (_prep_value_pair)
+                        row_lo = i // k
+                        col0 = k * (c + 1) - k // 2
+                    srcs = talls = None
+                    if mode in ("same", "same_raw", "coarser"):
+                        srcs = [
+                            (
+                                scr_refs[scr_idx[li]][
+                                    h, pl.ds(row_lo, span), :,
+                                    col0 : col0 + wpad,
+                                ]
+                                if mode == "same_raw"
+                                else v_ref[
+                                    0, h, pl.ds(row_lo, span), :,
+                                    col0 : col0 + wpad,
+                                ]
+                            )
                             for h in range(hp)
                         ]
-                    )
-                if mode in ("same", "same_raw"):
-                    row_lo = i + 1
-                    col0 = c + 1
-                elif mode == "coarser":
-                    row_lo = i + k - k // 2
-                    col0 = k * (c + 1) - k // 2
-                elif mode == "coarser_small":
-                    # big row t = i + ceil(k/2) + k*r + j reads small row
-                    # t // k = i // k + r + pat[j]; i // k is exact
-                    # because rb % k == 0 (enforced by _prep_value_pair)
-                    row_lo = i // k
-                    col0 = k * (c + 1) - k // 2
-                for h in range(hp):
-                    racc = jnp.zeros((rb, d, wpad), jnp.bfloat16)
-                    if mode == "finer":
-                        for r in range(w):
-                            phase, row_off, fcol0 = cellmap[(r, c)]
-                            row0 = phase * phase_rows + i + row_off
-                            slab = _finer_slab(
-                                v_ref, 0, h, row0, rb, d, fcol0, wpad
-                            )
-                            racc = racc + cws[r][h] * slab
-                    elif mode == "finer_raw":
-                        # raw rows strided by k; column phase pc(c) was
-                        # decimated into its scratch at build time
-                        pad_ = window // 2
-                        mt = _finer_margin(k, w)
-                        mt_r = max(0, pad_ - 1 - (k - 1) // 2)
-                        mc = (k - 1) // 2 + c + 1
-                        pcc = (mc - pad_) % k
-                        col0 = mt + (mc - pad_ - pcc) // k
-                        scr = scr_refs[scr_idx[li] + pcc]
-                        for r in range(w):
-                            mr = (k - 1) // 2 + r + 1
-                            base = mt_r + k * i + (mr - pad_)
-                            tall = scr[
-                                h,
-                                pl.ds(base, k * (rb - 1) + 1),
-                                :,
-                                col0 : col0 + wpad,
-                            ]
-                            slab = jnp.concatenate(
-                                [
-                                    jax.lax.slice(
-                                        tall,
-                                        (k * j, 0, 0),
-                                        (k * j + 1, d, wpad),
-                                    )
-                                    for j in range(rb)
-                                ],
-                                axis=0,
-                            )
-                            racc = racc + cws[r][h] * slab
                     elif mode == "coarser_small":
-                        tall = scr_refs[scr_idx[li]][
-                            h, pl.ds(row_lo, span), :, col0 : col0 + wpad
-                        ]
-                        for r in range(w):
-                            slab = jnp.concatenate(
-                                [
-                                    jax.lax.slice(
-                                        tall,
-                                        (r + pat[j], 0, 0),
-                                        (r + pat[j] + 1, d, wpad),
-                                    )
-                                    for j in range(rb)
-                                ],
-                                axis=0,
-                            )
-                            racc = racc + cws[r][h] * slab
-                    else:
-                        src = (
+                        talls = [
                             scr_refs[scr_idx[li]][
                                 h, pl.ds(row_lo, span), :,
                                 col0 : col0 + wpad,
                             ]
-                            if mode == "same_raw"
-                            else v_ref[
-                                0, h, pl.ds(row_lo, span), :,
-                                col0 : col0 + wpad,
-                            ]
-                        )
-                        step = 1 if mode in ("same", "same_raw") else k
-                        for r in range(w):
-                            slab = jax.lax.slice(
-                                src,
-                                (step * r, 0, 0),
-                                (step * r + rb, d, wpad),
+                            for h in range(hp)
+                        ]
+                    if mode == "finer_raw":
+                        # raw rows strided by k; column phase pc(c) was
+                        # decimated into its scratch at build time
+                        pad_f = w // 2
+                        mt_f = _finer_margin(k, w)
+                        mtr_f = max(0, pad_f - 1 - (k - 1) // 2)
+                        mc = (k - 1) // 2 + c + 1
+                        pcc = (mc - pad_f) % k
+                        fcol0 = mt_f + (mc - pad_f - pcc) // k
+                        scr_f = scr_refs[scr_idx[li] + pcc]
+                    step = 1 if mode in ("same", "same_raw") else k
+
+                    def cell_fn(rs, _r):
+                        out = list(rs)
+                        for h in range(hp):
+                            if mode == "finer":
+                                phase, row_off, fc0 = cellmap[(_r, c)]
+                                row0 = phase * phase_rows + i + row_off
+                                slab = _finer_slab(
+                                    v_ref, 0, h, row0, rb, d, fc0, wpad
+                                )
+                            elif mode == "finer_raw":
+                                mr = (k - 1) // 2 + _r + 1
+                                base = mtr_f + k * i + (mr - pad_f)
+                                tall = scr_f[
+                                    h,
+                                    pl.ds(base, k * (rb - 1) + 1),
+                                    :,
+                                    fcol0 : fcol0 + wpad,
+                                ]
+                                slab = jnp.concatenate(
+                                    [
+                                        jax.lax.slice(
+                                            tall,
+                                            (k * j, 0, 0),
+                                            (k * j + 1, d, wpad),
+                                        )
+                                        for j in range(rb)
+                                    ],
+                                    axis=0,
+                                )
+                            elif mode == "coarser_small":
+                                slab = jnp.concatenate(
+                                    [
+                                        jax.lax.slice(
+                                            talls[h],
+                                            (_r + pat[j], 0, 0),
+                                            (_r + pat[j] + 1, d, wpad),
+                                        )
+                                        for j in range(rb)
+                                    ],
+                                    axis=0,
+                                )
+                            else:
+                                slab = jax.lax.slice(
+                                    srcs[h],
+                                    (step * _r, 0, 0),
+                                    (step * _r + rb, d, wpad),
+                                )
+                            out[h] = out[h] + cws[_r][h] * slab
+                        return tuple(out)
+
+                    raccs = tuple(
+                        jnp.zeros((rb, d, wpad), jnp.bfloat16)
+                        for _ in range(hp)
+                    )
+                    for r in range(w):
+                        if sparse:
+                            raccs = jax.lax.cond(
+                                ((_wd >> r) & 1) != 0,
+                                functools.partial(cell_fn, _r=r),
+                                lambda rs: rs,
+                                raccs,
                             )
-                            racc = racc + cws[r][h] * slab
-                    accs[h] = accs[h] + racc.astype(jnp.float32)
+                        else:
+                            raccs = cell_fn(raccs, r)
+                    return tuple(
+                        a + rc.astype(jnp.float32)
+                        for a, rc in zip(accs_t, raccs)
+                    )
+
+                if sparse:
+                    accs = list(
+                        jax.lax.cond(
+                            wd != 0, col_fn, lambda a: a, tuple(accs)
+                        )
+                    )
+                else:
+                    accs = list(col_fn(tuple(accs)))
         for h in range(hp):
             if out_t:
                 # channels-major store (B, NH, D, HA, WPAD): the exit
@@ -517,21 +586,64 @@ def _merged_kernel_packed(
     jax.lax.fori_loop(0, ha // rb, row_block, 0)
 
 
+def _mask_words(fx, fy, wl: int, rb: int, qw: int):
+    """Cell-liveness words for the sparse merged kernel: for each
+    (batch, head-group, row block) an int32 word per window column c,
+    bit r set iff SOME (query, head, point) in the block has bilinear
+    tent support in cell (r, c) — i.e. |fy - r| < 1 and |fx - c| < 1 for
+    some sample. Built from conservative min/max rectangles per
+    (head-in-pair, point) slot over the block, so skipped cells are
+    provably zero-weight for every query: the sparse kernel's output is
+    identical to the dense loop. Exact when offsets are block-constant
+    (e.g. the compass init); degrades gracefully (more live cells, same
+    result) as trained offsets disperse.
+
+    fx/fy: packed (B, grp, ha_pad, hp*P, wpad) planes — the EXACT arrays
+    the kernel reads (int16 fixed-point when DEFORM_COORD16 is on, so
+    mask and kernel agree bit-for-bit at tent-support boundaries); lanes
+    are sliced to the real ``qw`` so zero-padded lanes cannot pull the
+    rectangles toward cell 0."""
+    b, grp, ha_pad, hpp, _ = fx.shape
+    nb = ha_pad // rb
+    scale = 1.0 / 4096.0 if fx.dtype == jnp.int16 else 1.0
+
+    def mm(t):
+        t = t[..., :qw].reshape(b, grp, nb, rb, hpp, qw)
+        lo = t.min(axis=(3, 5)).astype(jnp.float32) * scale
+        hi = t.max(axis=(3, 5)).astype(jnp.float32) * scale
+        return lo, hi  # (b, grp, nb, hpp)
+
+    xlo, xhi = mm(fx)
+    ylo, yhi = mm(fy)
+    idx = jnp.arange(wl, dtype=jnp.float32)
+    rowlive = (idx > ylo[..., None] - 1.0) & (idx < yhi[..., None] + 1.0)
+    collive = (idx > xlo[..., None] - 1.0) & (idx < xhi[..., None] + 1.0)
+    # (b, grp, nb, hpp, wl_r, wl_c) -> any over slots
+    live = jnp.any(rowlive[..., :, None] & collive[..., None, :], axis=3)
+    bits = live.astype(jnp.int32) << jnp.arange(wl, dtype=jnp.int32)[
+        :, None
+    ]
+    return bits.sum(axis=-2)  # (b, grp, nb, wl): word per column
+
+
 @functools.lru_cache(maxsize=None)
 def _make_level_fn(cfg):
     """Cached custom-VJP function for one QUERY level over all value
     levels, with the level-merged packed forward kernel and the per-pair
     backward kernels (same math, so the VJP decomposes per value level).
 
-    cfg = (b, nh, window, rb, ha_pad, p, d, wpad, hp, interpret,
-           level_cfgs[, out_t]) where level_cfgs is a tuple of
-    (mode, k, phase_rows, rows_v, cols_v) per value level and out_t
-    selects the channels-major output layout (B, NH, D, HA, WPAD).
+    cfg = (b, nh, rb, ha_pad, p, d, wpad, hp, interpret,
+           level_cfgs[, out_t, sparse, qw]) where level_cfgs is a tuple
+    of (mode, k, phase_rows, rows_v, cols_v, window) per value level —
+    the window is PER VALUE LEVEL (mixed windows run fewer dense cells
+    on coarser value levels) — out_t selects the channels-major output
+    layout (B, NH, D, HA, WPAD), and sparse enables the cell-liveness
+    masks (qw = real query lanes, for mask rectangles).
     """
-    (b, nh, window, rb, ha_pad, p, d, wpad, hp, interpret, level_cfgs) = cfg[
-        :11
-    ]
-    out_t = cfg[11] if len(cfg) > 11 else False
+    (b, nh, rb, ha_pad, p, d, wpad, hp, interpret, level_cfgs) = cfg[:10]
+    out_t = cfg[10] if len(cfg) > 10 else False
+    sparse = cfg[11] if len(cfg) > 11 else False
+    qw = cfg[12] if len(cfg) > 12 else wpad
     nl = len(level_cfgs)
 
     def spec(shape, heads=1):
@@ -561,6 +673,7 @@ def _make_level_fn(cfg):
     # lanes cover the largest static column slice, rounded to full tiles
     scratch_shapes = []
     for c in level_cfgs:
+        wl = c[5]
         if c[0] == "coarser_small":
             scratch_shapes.append(
                 pltpu.VMEM(
@@ -568,7 +681,7 @@ def _make_level_fn(cfg):
                         hp,
                         c[3],
                         d,
-                        _round_up(wpad + c[1] * (window + 1), 128),
+                        _round_up(wpad + c[1] * (wl + 1), 128),
                     ),
                     jnp.bfloat16,
                 )
@@ -578,22 +691,22 @@ def _make_level_fn(cfg):
                 pltpu.VMEM(
                     (
                         hp,
-                        ha_pad + window + 1,
+                        ha_pad + wl + 1,
                         d,
-                        _round_up(wpad + window + 1, 128),
+                        _round_up(wpad + wl + 1, 128),
                     ),
                     jnp.bfloat16,
                 )
             )
         elif c[0] == "finer_raw":
             k = c[1]
-            pad_w = window // 2
-            mt = _finer_margin(k, window)
-            moff = _finer_max_off(k, window)
+            pad_w = wl // 2
+            mt = _finer_margin(k, wl)
+            moff = _finer_max_off(k, wl)
             mt_r = max(0, pad_w - 1 - (k - 1) // 2)
             rows_scr = mt_r + max(
                 c[3],
-                k * (ha_pad - 1) + (k - 1) // 2 + window - pad_w + 1,
+                k * (ha_pad - 1) + (k - 1) // 2 + wl - pad_w + 1,
             )
             cols_scr = _round_up(mt + moff + wpad + 1, 128)
             for _ in range(k):
@@ -616,14 +729,41 @@ def _make_level_fn(cfg):
             fys = tuple(
                 jnp.round(x * 4096.0).astype(jnp.int16) for x in fys
             )
+        if sparse:
+            # liveness masks from the planes the kernel actually reads
+            # (post-quantization: mask and kernel agree exactly at tent
+            # boundaries); computed INSIDE fwd so the custom-VJP
+            # signature and the backward (dense pair kernels) are
+            # untouched
+            mwords = jnp.concatenate(
+                [
+                    _mask_words(
+                        fxs[li], fys[li], level_cfgs[li][5], rb, qw
+                    )
+                    for li in range(nl)
+                ],
+                axis=-1,
+            )  # (B, grp, nb, sum of per-level windows) int32
         kernel = functools.partial(
             _merged_kernel_packed,
-            window=window, rb=rb, ha=ha_pad, d=d, p=p, wpad=wpad,
-            level_cfgs=tuple(c[:3] for c in level_cfgs), hp=hp,
-            out_t=out_t,
+            rb=rb, ha=ha_pad, d=d, p=p, wpad=wpad,
+            level_cfgs=tuple(c[:3] + (c[5],) for c in level_cfgs), hp=hp,
+            out_t=out_t, sparse=sparse,
         )
         wspec = spec((ha_pad, hp * p, wpad))
         out_dims = (d, ha_pad, wpad) if out_t else (ha_pad, d, wpad)
+        extra_specs, extra_ops = [], ()
+        if sparse:
+            nb = ha_pad // rb
+            tw = sum(c[5] for c in level_cfgs)
+            extra_specs = [
+                pl.BlockSpec(
+                    (1, 1, nb, tw),
+                    lambda bb, hh: (bb, hh, 0, 0),
+                    memory_space=pltpu.SMEM,
+                )
+            ]
+            extra_ops = (mwords,)
         return pl.pallas_call(
             kernel,
             grid=(b, nh // hp),
@@ -633,6 +773,7 @@ def _make_level_fn(cfg):
                     for c in level_cfgs
                 ]
                 + [wspec] * (3 * nl)
+                + extra_specs
             ),
             out_specs=spec(out_dims, heads=hp),
             out_shape=jax.ShapeDtypeStruct(
@@ -643,7 +784,7 @@ def _make_level_fn(cfg):
                 vmem_limit_bytes=100 * 1024 * 1024
             ),
             interpret=interpret,
-        )(*preps, *fxs, *fys, *ats)
+        )(*preps, *fxs, *fys, *ats, *extra_ops)
 
     def bwd(res, g):
         preps, fxs, fys, ats = res
@@ -652,7 +793,7 @@ def _make_level_fn(cfg):
             # cotangent layout (training-only relayout)
             g = jnp.transpose(g, (0, 1, 3, 2, 4))
         d_preps, d_fxs, d_fys, d_ats = [], [], [], []
-        for li, (mode, k, phase_rows, rows_v, cols_v) in enumerate(
+        for li, (mode, k, phase_rows, rows_v, cols_v, wl) in enumerate(
             level_cfgs
         ):
             if mode == "coarser_small":
@@ -660,7 +801,7 @@ def _make_level_fn(cfg):
                 # (XLA broadcast, differentiable — its transpose is the
                 # k x k block-sum) and reuse the 'coarser' pair backward
                 pair_raw = _make_pair_fn(
-                    (b, nh, window, rb, ha_pad, p, d, wpad, "coarser", k,
+                    (b, nh, wl, rb, ha_pad, p, d, wpad, "coarser", k,
                      0, rows_v * k, cols_v * k, interpret, "cell", 1)
                 )
                 pair_fn = functools.partial(
@@ -673,18 +814,18 @@ def _make_level_fn(cfg):
             elif mode == "finer_raw":
                 # backward-only: classic phase decomposition (reshape/
                 # transpose/pad — all differentiable)
-                mt = _finer_margin(k, window)
-                moff = _finer_max_off(k, window)
+                mt = _finer_margin(k, wl)
+                moff = _finer_max_off(k, wl)
                 ph_rows = mt + ha_pad + moff + 1
                 ph_cols = mt + cols_v // k + moff + 2
                 pair_raw = _make_pair_fn(
-                    (b, nh, window, rb, ha_pad, p, d, wpad, "finer", k,
+                    (b, nh, wl, rb, ha_pad, p, d, wpad, "finer", k,
                      ph_rows, k * k * ph_rows, ph_cols, interpret,
                      "cell", 1)
                 )
                 pair_fn = functools.partial(
                     lambda pf, kk, pr, fx, fy, at: pf(
-                        _decompose_finer(pr, kk, window, ha_pad)[0],
+                        _decompose_finer(pr, kk, wl, ha_pad)[0],
                         fx, fy, at,
                     ),
                     pair_raw,
@@ -693,13 +834,13 @@ def _make_level_fn(cfg):
             elif mode == "same_raw":
                 # backward-only: classic padded prep (pad is
                 # differentiable — its transpose is a slice)
-                rows_c = ha_pad + window + 1
-                cols_c = wpad + window + 1
+                rows_c = ha_pad + wl + 1
+                cols_c = wpad + wl + 1
                 pair_raw = _make_pair_fn(
-                    (b, nh, window, rb, ha_pad, p, d, wpad, "same", 1,
+                    (b, nh, wl, rb, ha_pad, p, d, wpad, "same", 1,
                      0, rows_c, cols_c, interpret, "cell", 1)
                 )
-                pw = window // 2
+                pw = wl // 2
 
                 def _pad_same(pr, _rows=rows_c, _cols=cols_c, _pw=pw):
                     return jnp.pad(
@@ -722,7 +863,7 @@ def _make_level_fn(cfg):
                 )
             else:
                 pair_fn = _make_pair_fn(
-                    (b, nh, window, rb, ha_pad, p, d, wpad, mode, k,
+                    (b, nh, wl, rb, ha_pad, p, d, wpad, mode, k,
                      phase_rows, rows_v, cols_v, interpret, "cell", 1)
                 )
             _, pair_bwd = jax.vjp(
@@ -1133,6 +1274,14 @@ def _out_t_enabled() -> bool:
     return os.environ.get("DEFORM_OUT_T", "1") != "0"
 
 
+def _sparse_enabled() -> bool:
+    """DEFORM_SPARSE=0 disables the data-dependent cell-liveness masks
+    in the merged kernel (A/B knob; read at trace time)."""
+    import os
+
+    return os.environ.get("DEFORM_SPARSE", "1") != "0"
+
+
 def _heads_per_step(nh: int) -> int:
     """Heads packed per merged-kernel grid step. DEFORM_HP (default 2)
     is an on-chip A/B knob: hp=4 halves the grid (less launch/pipeline
@@ -1145,6 +1294,19 @@ def _heads_per_step(nh: int) -> int:
     while nh % hp:  # clamp to a divisor (tiny test configs have NH=2)
         hp //= 2
     return hp
+
+
+def _norm_windows(window, nl: int) -> Tuple[int, ...]:
+    """Normalize an int or per-value-level window spec to one int per
+    value level (mixed windows, e.g. (8, 6, 4) over value strides
+    (8, 16, 32): constant clamp reach in pixels at 116 instead of 192
+    dense cells per query)."""
+    if isinstance(window, (int, float)):
+        return (int(window),) * nl
+    ws = tuple(int(x) for x in window)
+    if len(ws) != nl:
+        raise ValueError(f"per-level window {ws}: expected {nl} entries")
+    return ws
 
 
 def _prep_value_pair(
@@ -1288,7 +1450,7 @@ def windowed_ms_deform_attn_pallas_cm(
     reference_points: Sequence[jnp.ndarray],  # per level (2, eh, ew)
     # normalized grid centers in stored orientation, channel 0 = x
     attention: Sequence[jnp.ndarray],  # per level (B,NH,L,P,eh,ew)
-    window: int = DEFAULT_WINDOW,
+    window=DEFAULT_WINDOW,  # int or per-VALUE-level tuple (mixed windows)
     interpret: bool = False,
 ) -> List[jnp.ndarray]:
     """Channels-major entry: all inputs/outputs keep each level's spatial
@@ -1318,7 +1480,7 @@ def windowed_ms_deform_attn_pallas_cm(
     b, nh, _, d, _ = values[0].shape
     nl = len(spatial_shapes)
     p = offsets[0].shape[3]
-    w = window
+    wins = _norm_windows(window, nl)
     assert nh % 2 == 0, "channels-major path requires an even head count"
     hp = _heads_per_step(nh)
     grp = nh // hp
@@ -1361,6 +1523,7 @@ def windowed_ms_deform_attn_pallas_cm(
 
         merged = []
         for bi, (hb, wb) in enumerate(spatial_shapes):
+            w = wins[bi]  # per-value-level window
             vh, vw = (wb, hb) if tr else (hb, wb)
             ax = jnp.asarray(_anchor(qw, vw, w), jnp.float32)  # lane anchor
             ay = jnp.asarray(_anchor(qh, vh, w), jnp.float32)  # row anchor
@@ -1421,16 +1584,18 @@ def windowed_ms_deform_attn_pallas_cm(
                     mode,
                     k,
                     phase_rows,
+                    w,
                 )
             )
 
         level_cfgs = tuple(
-            (m[4], m[5], m[6], m[0].shape[2], m[0].shape[4]) for m in merged
+            (m[4], m[5], m[6], m[0].shape[2], m[0].shape[4], m[7])
+            for m in merged
         )
         out_t = _out_t_enabled()
         level_fn = _make_level_fn(
-            (b, nh, w, rb, ha_pad, p, d, wpad, hp, interpret, level_cfgs,
-             out_t)
+            (b, nh, rb, ha_pad, p, d, wpad, hp, interpret, level_cfgs,
+             out_t, _sparse_enabled(), qw)
         )
         acc = level_fn(
             tuple(m[0] for m in merged),
@@ -1452,7 +1617,7 @@ def windowed_ms_deform_attn_pallas(
     spatial_shapes: Sequence[Tuple[int, int]],
     sampling_locations: jnp.ndarray,
     attention_weights: jnp.ndarray,
-    window: int = DEFAULT_WINDOW,
+    window=DEFAULT_WINDOW,  # int or per-VALUE-level tuple (mixed windows)
     interpret: bool = False,
     variant: str = "merged",
 ) -> jnp.ndarray:
@@ -1480,7 +1645,7 @@ def windowed_ms_deform_attn_pallas(
     interpret = interpret or jax.default_backend() == "cpu"
     nl = len(spatial_shapes)
     p = sampling_locations.shape[4]
-    w = window
+    wins = _norm_windows(window, nl)
     out_dtype = value.dtype
 
     offsets = [0]
@@ -1563,8 +1728,9 @@ def windowed_ms_deform_attn_pallas(
             )  # (B, H, qh, qw, L, P)
 
         acc = None
-        merged: List = []  # (prep, fx, fy, at, mode, k, phase_rows) per b
+        merged: List = []  # (prep, fx, fy, at, mode, k, phase_rows, w)
         for bi, (hb, wb) in enumerate(spatial_shapes):
+            w = wins[bi]  # per-value-level window
             # value level extents in the chosen orientation
             vh, vw = (wb, hb) if tr else (hb, wb)
             ax = jnp.asarray(_anchor(qw, vw, w), jnp.float32)  # lane anchor
@@ -1621,6 +1787,7 @@ def windowed_ms_deform_attn_pallas(
                         mode,
                         k,
                         phase_rows,
+                        w,
                     )
                 )
                 continue
@@ -1663,13 +1830,13 @@ def windowed_ms_deform_attn_pallas(
         out_t = False
         if merged:
             level_cfgs = tuple(
-                (m[4], m[5], m[6], m[0].shape[2], m[0].shape[4])
+                (m[4], m[5], m[6], m[0].shape[2], m[0].shape[4], m[7])
                 for m in merged
             )
             out_t = _out_t_enabled()
             level_fn = _make_level_fn(
-                (b, nh, w, rb, ha_pad, p, d, wpad, hp, interpret,
-                 level_cfgs, out_t)
+                (b, nh, rb, ha_pad, p, d, wpad, hp, interpret,
+                 level_cfgs, out_t, _sparse_enabled(), qw)
             )
             acc = level_fn(
                 tuple(m[0] for m in merged),

@@ -155,6 +155,120 @@ class TestCMParity:
         total = sum(float(np.abs(np.asarray(l)).sum()) for l in leaves)
         assert total > 0
 
+    def _inbound_offset_params(self, mod, q_cm, v_cm, refs_cm, orientations,
+                               wins, rng):
+        """Init params whose sampling offsets are CONSTANT (zero kernel)
+        and already inside every level's mixed-window clamp, so a dense
+        max-window model and a mixed-window model see identical clamped
+        offsets."""
+        params = mod.init(
+            jax.random.PRNGKey(0), q_cm, v_cm, refs_cm, SHAPES, orientations
+        )
+        rs = np.random.RandomState(3)
+        bias = np.stack(
+            [
+                rs.uniform(-(wl / 2 - 1) * 0.95, (wl / 2 - 1) * 0.95,
+                           size=(NH, P, 2))
+                for wl in wins
+            ],
+            axis=1,
+        ).reshape(-1)  # (NH, NL, P, 2) -> flat
+        off = dict(params["params"]["sampling_offsets"])
+        off["bias"] = jnp.asarray(bias.astype(np.float32))
+        aw = dict(params["params"]["attention_weights"])
+        aw["kernel"] = jnp.asarray(
+            rs.randn(*aw["kernel"].shape).astype(np.float32) * 0.1
+        )
+        p2 = dict(params["params"])
+        p2["sampling_offsets"] = off
+        p2["attention_weights"] = aw
+        return {"params": p2}
+
+    @pytest.mark.slow  # W=8 interpret-mode traces are ~1 min each
+    def test_mixed_window_matches_dense_max(self, rng):
+        """Per-value-level windows (8, 6, 4): running each level at its
+        own window must equal the dense max-window kernel whenever the
+        offsets respect every level's clamp (the outer cells of the dense
+        window carry zero tent weight)."""
+        wins = (8, 6, 4)
+        q, v = self._data(rng)
+        orientations = choose_orientations(SHAPES)
+        q_cm = tokens_to_cm(q, SHAPES, orientations)
+        v_cm = tokens_to_cm(v, SHAPES, orientations)
+        refs_cm = [
+            jnp.asarray(r)
+            for r in make_reference_points_cm(SHAPES, orientations)
+        ]
+        mixed = MSDeformAttentionCM(
+            embed_dim=C, num_heads=NH, num_levels=len(SHAPES), num_points=P,
+            window=wins,
+        )
+        dense = MSDeformAttentionCM(
+            embed_dim=C, num_heads=NH, num_levels=len(SHAPES), num_points=P,
+            window=max(wins),
+        )
+        params = self._inbound_offset_params(
+            mixed, q_cm, v_cm, refs_cm, orientations, wins, rng
+        )
+        got = mixed.apply(params, q_cm, v_cm, refs_cm, SHAPES, orientations)
+        want = dense.apply(params, q_cm, v_cm, refs_cm, SHAPES, orientations)
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=0.02, atol=0.02
+            )
+
+    def test_mixed_window_tuple_equals_int(self, rng):
+        """window=(4, 4, 4) must be exactly the window=4 path."""
+        q, v = self._data(rng)
+        orientations = choose_orientations(SHAPES)
+        q_cm = tokens_to_cm(q, SHAPES, orientations)
+        v_cm = tokens_to_cm(v, SHAPES, orientations)
+        refs_cm = [
+            jnp.asarray(r)
+            for r in make_reference_points_cm(SHAPES, orientations)
+        ]
+        m_t = MSDeformAttentionCM(
+            embed_dim=C, num_heads=NH, num_levels=len(SHAPES), num_points=P,
+            window=(W, W, W),
+        )
+        m_i = MSDeformAttentionCM(
+            embed_dim=C, num_heads=NH, num_levels=len(SHAPES), num_points=P,
+            window=W,
+        )
+        params = m_i.init(
+            jax.random.PRNGKey(0), q_cm, v_cm, refs_cm, SHAPES, orientations
+        )
+        a = m_t.apply(params, q_cm, v_cm, refs_cm, SHAPES, orientations)
+        b = m_i.apply(params, q_cm, v_cm, refs_cm, SHAPES, orientations)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    @pytest.mark.slow  # mixed-window backward traces all pair VJPs
+    def test_mixed_window_grads_flow(self, rng):
+        q, _ = self._data(rng)
+        orientations = choose_orientations(SHAPES)
+        cm_layer = EncoderLayerCM(
+            spatial_shapes=SHAPES, orientations=orientations, embed_dim=C,
+            num_heads=NH, num_levels=len(SHAPES), num_points=P, ffn_dim=32,
+            window=(8, 6, 4),
+        )
+        q_cm = tokens_to_cm(q, SHAPES, orientations)
+        pos_cm = tuple(jnp.zeros_like(t) for t in q_cm)
+        refs_cm = tuple(
+            jnp.asarray(r)
+            for r in make_reference_points_cm(SHAPES, orientations)
+        )
+        params = cm_layer.init(jax.random.PRNGKey(0), q_cm, pos_cm, refs_cm)
+
+        def loss(p):
+            out = cm_layer.apply(p, q_cm, pos_cm, refs_cm)
+            return sum(o.astype(jnp.float32).sum() for o in out)
+
+        g = jax.grad(loss)(params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        assert sum(float(np.abs(np.asarray(l)).sum()) for l in leaves) > 0
+
     def test_pixel_decoder_cm_matches_exact(self, rng):
         """The full pixel decoder on the CM path vs attn_impl='exact'
         (same params; windowed clamp keeps sampling identical)."""

@@ -100,6 +100,100 @@ class TestWindowedPallas:
             atol=0.05,
         )
 
+    def test_sparse_masks_bit_identical(self, rng, monkeypatch):
+        """DEFORM_SPARSE cell-liveness skipping must be BIT-identical to
+        the dense loop: the rectangle masks only skip cells whose tent
+        weight is exactly zero for every (query, head, point) in the row
+        block, so the skipped FMAs contribute exact bf16 zeros."""
+        from betrayed_by_captions_tpu.ops.deform_attn_windowed_pallas import (
+            windowed_ms_deform_attn_pallas,
+        )
+
+        shapes = [(8, 12)]
+        value, locs, wgts = build_inputs(rng, shapes, max_offset_cells=1.0)
+        monkeypatch.setenv("DEFORM_SPARSE", "0")
+        dense = windowed_ms_deform_attn_pallas(
+            value, shapes, locs, wgts, window=4, interpret=True
+        )
+        monkeypatch.setenv("DEFORM_SPARSE", "1")
+        sparse = windowed_ms_deform_attn_pallas(
+            value, shapes, locs, wgts, window=4, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(sparse), np.asarray(dense))
+
+    @pytest.mark.slow  # interpret-mode W=8 multi-level traces, ~2 min
+    def test_sparse_masks_multilevel(self, rng, monkeypatch):
+        """Sparse == dense across all prep modes (same/coarser/finer) and
+        mixed per-level windows. The skip itself is exact (masked cells
+        carry zero tent weight for every query in the block), but the
+        XLA CPU backend fuses the bf16 multiply-add differently inside a
+        lax.cond region, so interpret-mode outputs can differ by one
+        bf16 ulp — hence allclose, not array_equal (the single-level
+        fast test above pins bit-identity where no cond region forms)."""
+        from betrayed_by_captions_tpu.ops.deform_attn_windowed_pallas import (
+            windowed_ms_deform_attn_pallas,
+        )
+
+        value, locs, wgts = build_inputs(rng, SHAPES, max_offset_cells=1.0)
+        for w in (8, (8, 6, 4)):
+            monkeypatch.setenv("DEFORM_SPARSE", "0")
+            dense = windowed_ms_deform_attn_pallas(
+                value, SHAPES, locs, wgts, window=w, interpret=True
+            )
+            monkeypatch.setenv("DEFORM_SPARSE", "1")
+            sparse = windowed_ms_deform_attn_pallas(
+                value, SHAPES, locs, wgts, window=w, interpret=True
+            )
+            np.testing.assert_allclose(
+                np.asarray(sparse, np.float32),
+                np.asarray(dense, np.float32),
+                rtol=0.01,
+                atol=0.005,
+            )
+
+    def test_sparse_mask_words_cover_all_support(self, rng):
+        """Property check on the mask builder itself: every cell with
+        bilinear tent support (|fy-r| < 1 and |fx-c| < 1 for ANY sample
+        in the row block) must have its bit set — skipped cells are then
+        provably zero-weight for every query. Exactness of the skip
+        follows from this; it is the invariant the sparse kernel relies
+        on."""
+        from betrayed_by_captions_tpu.ops.deform_attn_windowed_pallas import (
+            _mask_words,
+        )
+
+        b, grp, rb, hpp, qw, wl = 2, 2, 4, 8, 11, 8
+        ha_pad = 3 * rb
+        fx = jnp.asarray(
+            rng.uniform(0, wl - 1, (b, grp, ha_pad, hpp, 16)).astype(
+                np.float32
+            )
+        )
+        fy = jnp.asarray(
+            rng.uniform(0, wl - 1, (b, grp, ha_pad, hpp, 16)).astype(
+                np.float32
+            )
+        )
+        words = np.asarray(_mask_words(fx, fy, wl, rb, qw))
+        fxn = np.asarray(fx)[..., :qw]
+        fyn = np.asarray(fy)[..., :qw]
+        live_frac = []
+        for bb in range(b):
+            for gg in range(grp):
+                for ib in range(ha_pad // rb):
+                    FX = fxn[bb, gg, ib * rb : (ib + 1) * rb]
+                    FY = fyn[bb, gg, ib * rb : (ib + 1) * rb]
+                    for r in range(wl):
+                        for c in range(wl):
+                            got = (words[bb, gg, ib, c] >> r) & 1
+                            if np.any(
+                                (np.abs(FY - r) < 1) & (np.abs(FX - c) < 1)
+                            ):
+                                assert got, (bb, gg, ib, r, c)
+                            live_frac.append(got)
+        # masks must also DO something: not everything live
+        assert 0 < np.mean(live_frac) <= 1.0
+
     @pytest.mark.slow  # interpret-mode backward kernels, minutes on CPU
     @pytest.mark.parametrize("shapes", [[(8, 12)], SHAPES])
     def test_gradients_match_exact_op(self, rng, shapes):

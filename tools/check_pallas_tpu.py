@@ -31,17 +31,27 @@ from betrayed_by_captions_tpu.ops.deform_attn_windowed_pallas import (
 )
 
 NH, D, P = 8, 32, 4
-W = int(os.environ.get("CHECK_WINDOW", "6"))
+# int or comma tuple ('8,6,4' = per-value-level mixed windows)
+_wspec = os.environ.get("CHECK_WINDOW", "6")
+W = (
+    int(_wspec)
+    if "," not in _wspec
+    else tuple(int(x) for x in _wspec.split(","))
+)
 
 
 def make_inputs(rng, b, shapes, dtype):
     s = sum(hh * ww for hh, ww in shapes)
     nl = len(shapes)
     ref = make_reference_points(shapes)
-    # keep offsets inside the window clamp (W/2 - 1 cells) so the exact
-    # gather op (which never clamps) computes the same samples
-    lim = W / 2 - 1 - 0.05
-    offs = rng.uniform(-lim, lim, size=(b, s, NH, nl, P, 2)).astype(np.float32)
+    # keep offsets inside each level's window clamp (W_l/2 - 1 cells) so
+    # the exact gather op (which never clamps) computes the same samples
+    wins = (W,) * nl if isinstance(W, int) else W
+    lim = np.asarray([wl / 2 - 1 - 0.05 for wl in wins], np.float32)
+    lim = lim.reshape(1, 1, 1, nl, 1, 1)
+    offs = rng.uniform(-1, 1, size=(b, s, NH, nl, P, 2)).astype(
+        np.float32
+    ) * lim
     norm = np.array([[ww, hh] for (hh, ww) in shapes], np.float32)
     locs = jnp.asarray(
         ref[None, :, None, None, None, :]

@@ -206,7 +206,13 @@ def main():
     out_json = os.path.join(args.out, "window_study.json")
     for seed in range(args.seeds):
         for wdw in runs:
-            r = run_one(wdw, args, paths, val_paths, seed=seed)
+            try:
+                r = run_one(wdw, args, paths, val_paths, seed=seed)
+            except Exception as e:  # one broken impl must not kill the
+                # whole multi-hour sweep (e.g. a Mosaic lowering reject)
+                print(f"RUN FAILED window={wdw} seed={seed}: "
+                      f"{type(e).__name__}: {str(e)[:300]}", flush=True)
+                continue
             r["seed"] = seed
             rows.append(r)
             print(json.dumps(r), flush=True)
