@@ -204,8 +204,33 @@ def main():
     rows = []
     runs = ([None] if args.with_exact else []) + list(args.windows)
     out_json = os.path.join(args.out, "window_study.json")
+    if os.path.exists(out_json):  # resume an interrupted sweep (the
+        # tunnel can wedge mid-run; completed rows are already on disk)
+        with open(out_json) as f:
+            rows = json.load(f)
+        print(f"resuming: {len(rows)} completed rows", flush=True)
+    done = {(r["tag"], r.get("seed", 0)) for r in rows}
+
+    def tag_of(wdw, seed):
+        if wdw is None:
+            t = "exact-unclamped"
+        else:
+            wtag = (
+                "x".join(str(x) for x in wdw)
+                if isinstance(wdw, tuple)
+                else str(wdw)
+            )
+            t = f"W{wtag}-{args.attn_impl}"
+        if args.gtds != 1:
+            t += f"-gtds{args.gtds}"
+        if seed:
+            t += f"-s{seed}"
+        return t
+
     for seed in range(args.seeds):
         for wdw in runs:
+            if (tag_of(wdw, seed), seed) in done:
+                continue
             try:
                 r = run_one(wdw, args, paths, val_paths, seed=seed)
             except Exception as e:  # one broken impl must not kill the
