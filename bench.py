@@ -85,14 +85,21 @@ _KNOBS = (
     "DEFORM_OUT_T",
     "DEFORM_HP",
     "DEFORM_SPARSE",
+    "DEFORM_LN",
 )
 CONFIG_LADDER = [
-    {},  # as configured (sparse cell masks + compact preps + int16
-    # coords + out_t + hp=2)
-    {"DEFORM_SPARSE": "0"},  # newest feature first off
-    {"DEFORM_SPARSE": "0", "DEFORM_COORD16": "0"},
-    {"DEFORM_SPARSE": "0", "DEFORM_COMPACT": "0", "DEFORM_COORD16": "0"},
+    {},  # as configured (fused LN + sparse cell masks + compact preps
+    # + int16 coords + out_t + hp=2)
+    {"DEFORM_LN": "0", "DEFORM_SPARSE": "0"},  # newest features first off
+    {"DEFORM_LN": "0", "DEFORM_SPARSE": "0", "DEFORM_COORD16": "0"},
     {
+        "DEFORM_LN": "0",
+        "DEFORM_SPARSE": "0",
+        "DEFORM_COMPACT": "0",
+        "DEFORM_COORD16": "0",
+    },
+    {
+        "DEFORM_LN": "0",
         "DEFORM_SPARSE": "0",
         "DEFORM_COMPACT": "0",
         "DEFORM_COORD16": "0",
@@ -128,6 +135,16 @@ out = jax.jit(
 )(value, locs, wgts)
 jax.block_until_ready(out)
 float(jnp.asarray(out).ravel()[0])
+from betrayed_by_captions_tpu.models.deformable_cm import (
+    _ln_pallas_enabled,
+)
+if _ln_pallas_enabled():
+    from betrayed_by_captions_tpu.ops.layernorm_pallas import layernorm_cm
+    x = jnp.asarray(rng.randn(1, 8, 11, 7), jnp.bfloat16)
+    y = jax.jit(layernorm_cm)(
+        x, jnp.ones((8,), jnp.float32), jnp.zeros((8,), jnp.float32)
+    )
+    float(jnp.asarray(y).ravel()[0])
 print("PROBE_OK", jax.default_backend())
 """
 

@@ -122,20 +122,47 @@ class _ProjParams(nn.Module):
         return kernel, bias
 
 
+def _ln_pallas_enabled() -> bool:
+    """DEFORM_LN=0 reverts to the XLA moment chain (A/B knob, read at
+    trace time)."""
+    import os
+
+    return os.environ.get("DEFORM_LN", "1") != "0"
+
+
+class _LNParams(nn.Module):
+    """Param holder matching _LNCore's tree ({scale, bias}) for paths
+    that consume the params directly (the fused Pallas LayerNorm)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
 class LayerNormF32CM(nn.Module):
     """LayerNormF32 over the channel dim of (B, C, *spatial).
 
-    Both moments are computed from the raw input in ONE multi-output
-    reduce pass (var = E[x^2] - E[x]^2, f32 accumulation) instead of the
-    two dependent passes of the naive formula: the round-3 batch-16 trace
-    showed the sequential mean -> (x-mean)^2 reduction chain plus the f32
-    input materialization at ~21 ms/iter across the encoder's 12 LN
-    applications (~4x the memory-bound floor)."""
+    Default path: ONE fused Pallas pass (ops/layernorm_pallas.py) —
+    read each (C, rows, lanes) block once, both f32 moments per
+    (row, lane), normalize + affine, write. The XLA fallback
+    (DEFORM_LN=0) computes both moments in one multi-output reduce
+    (var = E[x^2] - E[x]^2) but still lowers as ~3 passes in the
+    encoder's channels-major layout — 16.6 ms/iter across the encoder's
+    12 LN applications vs a ~4 ms memory floor (PERF.md round 10)."""
 
     eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if _ln_pallas_enabled() and x.ndim == 4:
+            from ..ops.layernorm_pallas import layernorm_cm
+
+            scale, bias = _LNParams(features=x.shape[1], name="ln")()
+            return layernorm_cm(x, scale, bias, self.eps)
         orig = x.dtype
         y = x.astype(jnp.float32)
         mean = y.mean(axis=1, keepdims=True)
