@@ -33,7 +33,13 @@ def main():
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--hw", type=int, nargs=2, default=(1024, 1024))
     ap.add_argument("--impl", default="windowed_pallas")
-    ap.add_argument("--window", type=int, default=8)
+    ap.add_argument(
+        "--window",
+        type=lambda s: int(s) if "," not in s
+        else tuple(int(x) for x in s.split(",")),
+        default=8,
+        help="int or comma tuple ('8,6,4' = per-value-level mixed)",
+    )
     ap.add_argument("--no-remat", action="store_true")
     ap.add_argument(
         "--gt-downsample", type=int, default=4,
