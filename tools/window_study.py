@@ -91,7 +91,11 @@ def run_one(window, args, paths, val_paths, seed=0):
     work = os.path.join(args.out, tag)
     t0 = time.time()
     try:
-        state = tl.train(cfg, work, resume=False)
+        # resume=True: a fresh run starts from scratch (no checkpoint
+        # yet), but a watchdog restart after a tunnel wedge picks the
+        # run up at its last saved epoch instead of retraining (work
+        # dirs are unique per (impl, seed) tag)
+        state = tl.train(cfg, work, resume=True)
     finally:
         bert_mod.load_bert_assets = orig
         tl.load_bert_assets = orig
