@@ -88,8 +88,9 @@ _KNOBS = (
     "DEFORM_LN",
 )
 CONFIG_LADDER = [
-    {},  # as configured (fused LN + sparse cell masks + compact preps
-    # + int16 coords + out_t + hp=2)
+    {},  # as configured (fused LN + compact preps + int16 coords
+    # + out_t + hp=2; DEFORM_SPARSE defaults OFF — on-chip regression,
+    # see _sparse_enabled)
     {"DEFORM_LN": "0", "DEFORM_SPARSE": "0"},  # newest features first off
     {"DEFORM_LN": "0", "DEFORM_SPARSE": "0", "DEFORM_COORD16": "0"},
     {

@@ -1275,20 +1275,36 @@ def _out_t_enabled() -> bool:
 
 
 def _sparse_enabled() -> bool:
-    """DEFORM_SPARSE=0 disables the data-dependent cell-liveness masks
-    in the merged kernel (A/B knob; read at trace time)."""
+    """DEFORM_SPARSE=1 enables the data-dependent cell-liveness masks
+    in the merged kernel (A/B knob; read at trace time).
+
+    Default OFF: on-chip at the flagship W=8 stride-8 shape the
+    lax.cond-predicated loop measured 35.40 ms vs 19.08 ms dense
+    (work_dirs/r4_tpu/check_sparse_w8.log) — Mosaic's predication
+    overhead exceeds the skipped cell work even at block-constant
+    offsets, exactly the risk NEXT.md round-3 flagged. The masks remain
+    exact (tests/test_deform_windowed.py) for future grid-granularity
+    skipping designs."""
     import os
 
-    return os.environ.get("DEFORM_SPARSE", "1") != "0"
+    return os.environ.get("DEFORM_SPARSE", "0") != "0"
 
 
-def _heads_per_step(nh: int) -> int:
+def _heads_per_step(nh: int, q_level: int = 0) -> int:
     """Heads packed per merged-kernel grid step. DEFORM_HP (default 2)
     is an on-chip A/B knob: hp=4 halves the grid (less launch/pipeline
-    overhead, more weight-vreg reuse) at 2x the per-step VMEM."""
+    overhead, more weight-vreg reuse) at 2x the per-step VMEM.
+
+    A comma list ("2,4,4") sets hp PER QUERY LEVEL (finest first): the
+    coarse query levels' launches are fixed-overhead dominated (PERF.md
+    round 10: stride-16/32 run 10.2/7.5 ms/layer at 1/4 and 1/16 of
+    stride-8's queries), and their per-step VMEM footprint is small, so
+    packing more heads per grid step amortizes the per-step prep builds
+    where it is cheapest. A short list extends with its last entry."""
     import os
 
-    hp = int(os.environ.get("DEFORM_HP", "2"))
+    spec = os.environ.get("DEFORM_HP", "2").split(",")
+    hp = int(spec[min(q_level, len(spec) - 1)])
     if hp < 1 or hp > 64 or (hp & (hp - 1)) != 0:
         raise ValueError(f"DEFORM_HP={hp}: must be a power of two in [1, 64]")
     while nh % hp:  # clamp to a divisor (tiny test configs have NH=2)
@@ -1482,8 +1498,6 @@ def windowed_ms_deform_attn_pallas_cm(
     p = offsets[0].shape[3]
     wins = _norm_windows(window, nl)
     assert nh % 2 == 0, "channels-major path requires an even head count"
-    hp = _heads_per_step(nh)
-    grp = nh // hp
     interpret = interpret or jax.default_backend() == "cpu"
 
     rb = int(os.environ.get("DEFORM_RB", "4"))
@@ -1515,6 +1529,8 @@ def windowed_ms_deform_attn_pallas_cm(
 
     outs: List[jnp.ndarray] = []
     for ai, (ha, wa) in enumerate(spatial_shapes):
+        hp = _heads_per_step(nh, ai)
+        grp = nh // hp
         tr = bool(orientations[ai])
         qh, qw = (wa, ha) if tr else (ha, wa)
         ha_pad = _round_up(qh, rb)
@@ -1712,7 +1728,7 @@ def windowed_ms_deform_attn_pallas(
             # to_lanes+pack chain materialized each weight tensor 3x and
             # accounted for a large slice of the measured XLA-relayout
             # time (~48% of the op in the round-3 trace)
-            hp = _heads_per_step(nh)
+            hp = _heads_per_step(nh, ai)
             grp = nh // hp
             locs_r = locs_seg.reshape(b, ha, wa, grp, hp, nl, p, 2)
             wgts_r = wgts_seg.reshape(b, ha, wa, grp, hp, nl, p)

@@ -33,18 +33,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _ln_kernel(x_ref, s_ref, b_ref, o_ref, *, eps: float):
     x = x_ref[0].astype(jnp.float32)  # (C, rt, ew)
-    c = x.shape[0]
     mean = jnp.mean(x, axis=0, keepdims=True)
     msq = jnp.mean(jax.lax.square(x), axis=0, keepdims=True)
     var = jnp.maximum(msq - jax.lax.square(mean), 0.0)
     y = (x - mean) * jax.lax.rsqrt(var + eps)
-    y = y * s_ref[0].reshape(c, 1, 1) + b_ref[0].reshape(c, 1, 1)
+    # params arrive pre-shaped (C, 1, 1): an in-kernel reshape of a
+    # (C,)-lane vector to (C, 1, 1) moves the lane dim outermost — a
+    # relayout real Mosaic rejects (interpret mode can't see it)
+    y = y * s_ref[0] + b_ref[0]
     o_ref[0] = y.astype(o_ref.dtype)
 
 
 def _param_spec(c):
     return pl.BlockSpec(
-        (1, c), lambda bb, ii: (0, 0), memory_space=pltpu.VMEM
+        (1, c, 1, 1), lambda bb, ii: (0, 0, 0, 0), memory_space=pltpu.VMEM
     )
 
 
@@ -90,7 +92,7 @@ def _ln_fwd_impl(x, scale, bias, eps):
         ),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,
-    )(x, scale.reshape(1, c), bias.reshape(1, c))
+    )(x, scale.reshape(1, c, 1, 1), bias.reshape(1, c, 1, 1))
 
 
 def _ln_fwd(x, scale, bias, eps):

@@ -304,6 +304,12 @@ class TestHeadsPerStep:
         got = run()
         np.testing.assert_allclose(got, want, rtol=0.02, atol=0.02)
 
+        # per-QUERY-level packing ("finest first", short list extends
+        # with its last entry): query level 0 at hp=2, level 1 at hp=4
+        monkeypatch.setenv("DEFORM_HP", "2,4")
+        got_mixed = run()
+        np.testing.assert_allclose(got_mixed, want, rtol=0.02, atol=0.02)
+
 
 class TestModuleWindowSemantics:
     """MSDeformAttention's window/clamp contract (models/deformable.py):
