@@ -33,6 +33,7 @@ class Mask2FormerOpen(nn.Module):
     emb_dim: int = 768
     num_decoder_layers: int = 9
     backbone_depth: int = 50
+    backbone_base_channels: int = 64  # mmdet ResNet base_channels
     # mmdet-style backbone freeze (-1 none, 0 stem, N stem+layer1..N);
     # enforced structurally with stop_gradient (models/resnet.py) AND by
     # the optimizer mask (engine/optim.py)
@@ -56,6 +57,7 @@ class Mask2FormerOpen(nn.Module):
     def setup(self):
         self.backbone = ResNet(
             depth=self.backbone_depth,
+            base_channels=self.backbone_base_channels,
             frozen_stages=self.frozen_backbone_stages,
             dtype=self.dtype,
             name="backbone",
@@ -142,6 +144,7 @@ def build_detector(model_cfg: Config, dtype=None) -> Mask2FormerOpen:
         emb_dim=model_cfg.get("emb_dim", 768),
         num_decoder_layers=model_cfg.get("num_decoder_layers", 9),
         backbone_depth=model_cfg.get("backbone_depth", 50),
+        backbone_base_channels=model_cfg.get("backbone_base_channels", 64),
         frozen_backbone_stages=model_cfg.get("frozen_backbone_stages", -1),
         use_class_emb=model_cfg.get("use_class_emb", True),
         use_caption_generation=model_cfg.get("use_caption_generation", True),

@@ -96,6 +96,7 @@ class StemConv(nn.Module):
     """
 
     space_to_depth: bool = True
+    features: int = 64
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -103,7 +104,7 @@ class StemConv(nn.Module):
         w = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
-            (7, 7, 3, 64),
+            (7, 7, 3, self.features),
             jnp.float32,
         )
         n, hh, ww, _ = x.shape
@@ -125,8 +126,8 @@ class StemConv(nn.Module):
         # (out-of-range taps are zero: pad one leading row/col)
         wp = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))
         w4 = jnp.transpose(
-            wp.reshape(4, 2, 4, 2, 3, 64), (0, 2, 1, 3, 4, 5)
-        ).reshape(4, 4, 12, 64)
+            wp.reshape(4, 2, 4, 2, 3, self.features), (0, 2, 1, 3, 4, 5)
+        ).reshape(4, 4, 12, self.features)
         return jax.lax.conv_general_dilated(
             xp,
             w4.astype(self.dtype),
@@ -151,6 +152,10 @@ class ResNet(nn.Module):
     out_indices: Sequence[int] = (0, 1, 2, 3)
     space_to_depth_stem: bool = True
     frozen_stages: int = -1
+    # mmdet ResNet's base_channels: stage widths scale with it (mid =
+    # base * 2^stage, out = mid * 4). Non-default values are for small
+    # test/dryrun models; reference checkpoints require 64.
+    base_channels: int = 64
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -159,10 +164,13 @@ class ResNet(nn.Module):
         x = x.astype(self.dtype)
         x = StemConv(
             space_to_depth=self.space_to_depth_stem,
+            features=self.base_channels,
             dtype=self.dtype,
             name="stem_conv",
         )(x)
-        x = FrozenBatchNorm(64, dtype=self.dtype, name="stem_bn")(x)
+        x = FrozenBatchNorm(
+            self.base_channels, dtype=self.dtype, name="stem_bn"
+        )(x)
         x = nn.relu(x)
         x = nn.max_pool(
             x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
@@ -171,7 +179,7 @@ class ResNet(nn.Module):
             x = jax.lax.stop_gradient(x)
 
         outs = []
-        mid = 64
+        mid = self.base_channels
         for stage_idx, num_blocks in enumerate(blocks):
             stride = 1 if stage_idx == 0 else 2
             for block_idx in range(num_blocks):

@@ -84,7 +84,13 @@ def _build_cfg_and_params(base_dir: str):
             shapes_per_image=2,
         )
         assert written == paths, (written, paths)
-    cfg = tiny_overfit_config(paths, epochs=_PRETRAIN_EPOCHS)
+    # backbone_base_channels=16: the dryrun checks the multi-process
+    # merge protocol, not model scale — a 1/4-width R50 keeps the
+    # committed pretrained fixture ~6 MB instead of 98 MB and the
+    # fallback pretrain minutes instead of tens of minutes
+    cfg = tiny_overfit_config(
+        paths, epochs=_PRETRAIN_EPOCHS, backbone_base_channels=16
+    )
     cfg["eval_batch_size"] = 2  # 3 strided images/process -> a padded tail
 
     banks = build_banks(cfg)
