@@ -73,6 +73,14 @@ def run_one(window, args, paths, val_paths, seed=0):
         max_instances=args.max_instances, **model_kw
     )
     cfg["seed"] = seed  # model init + loader shuffle (train_loop)
+    if args.cache_samples:
+        # freeze per-epoch augmentation and memoize transformed samples
+        # (data/loader.py): on a host whose CPU cannot re-augment at chip
+        # rate (the 1-core TPU hosts), the study step drops to ~chip
+        # time after epoch 1.  Protocol note: rows taken with the cache
+        # are NOT comparable with live-augmentation rows — keep one
+        # protocol per study output dir.
+        cfg.data.cache_samples = True
     cfg.criterion.num_points = args.num_points
     cfg.criterion.gt_point_downsample = args.gtds
     cfg.data.samples_per_device = max(
@@ -169,6 +177,10 @@ def main():
     ap.add_argument("--max-instances", type=int, default=4)
     ap.add_argument("--num-points", type=int, default=256,
                     help="criterion mask-loss sample points")
+    ap.add_argument("--cache-samples", action="store_true",
+                    help="freeze augmentation + memoize transformed "
+                    "samples (loader cache_samples): ~chip-rate steps "
+                    "on 1-core hosts; do not mix with live-aug rows")
     ap.add_argument("--gtds", type=int, default=1,
                     help="criterion gt_point_downsample (k-strided GT "
                     "sampling; flagship configs ship k=4)")
