@@ -245,6 +245,37 @@ def probe_and_pick_config():
         return CONFIG_LADDER[-1]
 
 
+def _report_link_quality():
+    """One stderr line of tunnel quality (H2D bandwidth + scalar RTT):
+    when a round-end bench is slow or times out, this line tells the
+    reader whether the tunnel or the model was at fault (PERF.md
+    round-11: session-to-session tunnel bandwidth varies by >5x and a
+    'warm' invocation can be a 25-minute job on a bad day)."""
+    try:
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+
+        dev = jax.devices()[0]
+        host = np.ones((2048, 2048), np.float32)  # 16 MB
+        t = time.perf_counter()
+        arr = jax.device_put(host, dev)
+        float(arr[0, 0])
+        h2d = host.nbytes / 1e6 / (time.perf_counter() - t)
+        f = jax.jit(lambda v: v + 1)
+        float(f(jnp.float32(0.0)))
+        t = time.perf_counter()
+        float(f(jnp.float32(1.0)))
+        rtt = (time.perf_counter() - t) * 1e3
+        print(
+            f"bench: link h2d={h2d:.1f} MB/s rtt={rtt:.0f} ms",
+            file=sys.stderr,
+            flush=True,
+        )
+    except Exception:
+        pass  # diagnostics must never break the measurement
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -254,6 +285,7 @@ def main():
     )
 
     enable_persistent_cache()
+    _report_link_quality()
 
     from betrayed_by_captions_tpu.engine.train_step import make_eval_step
     from betrayed_by_captions_tpu.models.class_banks import (
