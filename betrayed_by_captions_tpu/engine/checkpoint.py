@@ -57,11 +57,23 @@ def restore_checkpoint(ckpt_dir: str, state, step: Optional[int] = None):
     if step is None:
         mgr.close()
         return state, 0
-    template = {
-        "params": state.params,
-        "opt_state": state.opt_state,
-        "step": np.asarray(state.step),
-    }
+    # Abstract (shape, dtype) template rather than the live arrays:
+    # orbax's StandardRestore type-checks template leaves and rejects
+    # jax literal arrays (jax 0.9 TypedNdArray — constant-folded init
+    # leaves like the deformable compass-init bias), which is exactly
+    # what a freshly-inited TrainState can contain.  Restoring to
+    # abstract leaves sidesteps the leaf type entirely and also skips a
+    # pointless device round-trip of the template values.
+    template = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(
+            np.shape(x), getattr(x, "dtype", None) or np.asarray(x).dtype
+        ),
+        {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": np.asarray(state.step),
+        },
+    )
     restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
     mgr.close()
     new_state = state.replace(
