@@ -117,11 +117,49 @@ def check(name, b, shapes, dtype=jnp.bfloat16, variants=("cell", "packed", "merg
     return ok
 
 
+def check_layernorm():
+    """On-chip numerics of the fused channels-major LayerNorm
+    (ops/layernorm_pallas.py) vs the f32 moment chain.  The kernel has
+    passed compile probes on-chip since the f806f0b Mosaic lane-reshape
+    fix but never a hardware numerics check (interpret mode passed) —
+    and NEXT.md 6b suspects it in the round-4 resume loss discontinuity.
+    CHECK_LN=0 skips (e.g. on slow-tunnel days where even these small
+    compiles blow the session budget)."""
+    if os.environ.get("CHECK_LN", "1") == "0":
+        return True
+    from betrayed_by_captions_tpu.ops.layernorm_pallas import layernorm_cm
+
+    rng = np.random.RandomState(0)
+    ok = True
+    # flagship stride-8 channels-major shape + an odd-lane small shape
+    # (the lane-reshape fix's edge case)
+    for shp in [(2, 256, 100, 168), (1, 32, 11, 7)]:
+        x = jnp.asarray(rng.randn(*shp) * 3 + 1, jnp.bfloat16)
+        s = jnp.asarray(rng.rand(shp[1]) + 0.5, jnp.float32)
+        b = jnp.asarray(rng.randn(shp[1]), jnp.float32)
+        got = np.asarray(jax.jit(layernorm_cm)(x, s, b), np.float32)
+        xf = np.asarray(x, np.float32)
+        mu = xf.mean(1, keepdims=True)
+        var = xf.var(1, keepdims=True)
+        want = (xf - mu) / np.sqrt(var + 1e-6)
+        want = want * np.asarray(s)[None, :, None, None]
+        want = want + np.asarray(b)[None, :, None, None]
+        rel = float(
+            np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+        )
+        good = rel < 2e-2  # bf16 inputs: ~1e-2 is the rounding floor
+        ok &= good
+        print(f"layernorm_cm {shp}: max_rel_err {rel:.2e} "
+              f"{'ok' if good else 'MISMATCH'}")
+    return ok
+
+
 def main():
     print("devices:", jax.devices(), "window:", W)
     ok = True
     ok &= check("small", 2, [(4, 6), (8, 12), (16, 24)])
     ok &= check("flagship", 4, [(25, 42), (50, 84), (100, 168)])
+    ok &= check_layernorm()
     print("OK" if ok else "MISMATCH/FAIL")
     sys.exit(0 if ok else 1)
 
