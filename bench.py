@@ -72,8 +72,12 @@ ITERS = 8
 PROBE_BUDGET = float(os.environ.get("BENCH_PROBE_BUDGET", "900"))
 PROBE_RETRY_SLEEP = float(os.environ.get("BENCH_PROBE_SLEEP", "30"))
 # per-probe subprocess timeout: a DEAD tunnel usually hangs backend init
-# (no error), so this bounds how much of the budget one hung init eats
-PROBE_TIMEOUT = float(os.environ.get("BENCH_PROBE_TIMEOUT", "300"))
+# (no error), so this bounds how much of the budget one hung init eats.
+# 600s, not 300: round 5 measured the remote MOSAIC compile of the toy
+# windowed kernel at ~430 s on an otherwise-healthy tunnel (h2d 35 MB/s,
+# tiny-matmul compile 1 s) — a 300 s timeout misread that as a dead
+# backend and burned the whole probe budget on retries.
+PROBE_TIMEOUT = float(os.environ.get("BENCH_PROBE_TIMEOUT", "600"))
 
 # Kernel-config ladder, most to least aggressive.  Stage 0 is whatever
 # the environment says (defaults shown); later stages progressively
@@ -245,12 +249,19 @@ def probe_and_pick_config():
         return CONFIG_LADDER[-1]
 
 
-def _report_link_quality():
-    """One stderr line of tunnel quality (H2D bandwidth + scalar RTT):
-    when a round-end bench is slow or times out, this line tells the
-    reader whether the tunnel or the model was at fault (PERF.md
-    round-11: session-to-session tunnel bandwidth varies by >5x and a
-    'warm' invocation can be a 25-minute job on a bad day)."""
+
+# Minimum H2D bandwidth for a measured run to be attempted at all.  The
+# measured path moves >250 MB (params + BATCH images + the 46 MB
+# executable); below this rate WARMUP+ITERS cannot finish inside the
+# driver budget, and round 4's bench died rc=124 after measuring
+# h2d=0.0 MB/s and proceeding anyway.  A sub-minute diagnostic exit
+# (code 4) beats a silent timeout: the driver records the stderr tail.
+MIN_H2D_MBPS = float(os.environ.get("BENCH_MIN_H2D", "2.0"))
+
+
+def _measure_h2d():
+    """(h2d_MBps, rtt_ms) or (None, None) — diagnostics must never break
+    the measurement."""
     try:
         import numpy as np
         import jax
@@ -267,13 +278,47 @@ def _report_link_quality():
         t = time.perf_counter()
         float(f(jnp.float32(1.0)))
         rtt = (time.perf_counter() - t) * 1e3
+        return h2d, rtt
+    except Exception:
+        return None, None
+
+
+def _report_link_quality():
+    """Log tunnel quality (H2D bandwidth + scalar RTT) and REFUSE the
+    measured run over a dead link: round 4's bench measured h2d=0.0,
+    proceeded anyway, and died rc=124 with no number for the round.
+    The tunnel also shows transient multi-minute dropouts WITHIN a
+    healthy session (round 5: 32 MB/s at 01:48, 0.7 at 02:24, 35 at
+    02:31), so a failing reading is retried before giving up; only a
+    persistently dead link exits (code 4, sub-minute, one-line
+    diagnostic for the driver log)."""
+    for attempt in range(3):
+        h2d, rtt = _measure_h2d()
+        if h2d is None:
+            return
         print(
             f"bench: link h2d={h2d:.1f} MB/s rtt={rtt:.0f} ms",
             file=sys.stderr,
             flush=True,
         )
-    except Exception:
-        pass  # diagnostics must never break the measurement
+        if h2d >= MIN_H2D_MBPS:
+            return
+        if attempt < 2:
+            print(
+                f"bench: link below {MIN_H2D_MBPS} MB/s minimum; "
+                "re-probing in 60s (transient-dropout check)",
+                file=sys.stderr,
+                flush=True,
+            )
+            time.sleep(60)
+    print(
+        f"bench: link dead: h2d={h2d:.2f} MB/s < {MIN_H2D_MBPS} MB/s "
+        "minimum on 3 probes over 2 min; refusing the measured run "
+        "(set BENCH_MIN_H2D=0 to override)",
+        file=sys.stderr,
+        flush=True,
+    )
+    sys.exit(4)
 
 
 def main():

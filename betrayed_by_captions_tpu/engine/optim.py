@@ -37,6 +37,13 @@ class OptimizerConfig:
     norm_decay_mult: float = 0.0
     # mmdet convention: -1 none, 0 stem only, N stem + layer1..N zero-lr
     frozen_backbone_stages: int = 3
+    # reference freeze knobs (mask2former_head.py:242-247,262-271):
+    # freeze_pretrained freezes the stage-1-pretrained trunk of the head
+    # (pixel decoder + query transformer decoder incl. its post-norm —
+    # the reference's decoder_input_projs live inside our pixel decoder);
+    # freeze_v2l freezes the query->768-d projection
+    freeze_pretrained: bool = False
+    freeze_v2l: bool = False
     warmup_iters: int = 10
     warmup_ratio: float = 1.0
     lr_steps: Tuple[int, ...] = (70000, 80000)
@@ -61,6 +68,13 @@ def _path_names(path) -> Tuple[str, ...]:
 def _is_frozen(names: Sequence[str], cfg: OptimizerConfig) -> bool:
     # frozen BN statistics are never trained anywhere
     if names[-1] in _FROZEN_BN_LEAVES:
+        return True
+    if cfg.freeze_v2l and "v2l_transform" in names:
+        return True
+    if cfg.freeze_pretrained and any(
+        n == "pixel_decoder" or n.startswith("decoder_layer") or n == "post_norm"
+        for n in names
+    ):
         return True
     # FrozenBatchNorm affine params are requires_grad=False in the reference
     if any(n.startswith("bn") or n == "stem_bn" or n.endswith("_bn") for n in names):

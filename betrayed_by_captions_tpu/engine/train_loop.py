@@ -169,7 +169,11 @@ def train(cfg: Config, work_dir: str, resume: bool = False):
             for batch in loader:
                 logger.data_tick()
                 device_batch = make_global_batch(batch, mesh)
-                rng, step_rng = jax.random.split(rng)
+                # stateless per-step rng (fold_in of the global step, not
+                # a sequential split): a resumed run consumes the SAME
+                # randomness stream as a continuous one, so save/restore
+                # is loss-trajectory-exact (tests/test_resume_continuity)
+                step_rng = jax.random.fold_in(rng, global_step)
                 state, metrics = step_fn(state, device_batch, step_rng)
                 global_step += 1
                 logger.log_step(
@@ -178,7 +182,8 @@ def train(cfg: Config, work_dir: str, resume: bool = False):
                     lr=schedule(global_step),  # lazy: logger syncs at flush
                 )
             save_checkpoint(
-                ckpt_dir, state, epoch + 1, cfg.get("max_keep_ckpts", 2)
+                ckpt_dir, state, epoch + 1, cfg.get("max_keep_ckpts", 2),
+                checksum=cfg.get("checkpoint_checksum", False),
             )
             print(f"epoch {epoch + 1}/{max_epochs} done; checkpoint saved")
 

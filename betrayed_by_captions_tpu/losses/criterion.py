@@ -64,6 +64,7 @@ class CriterionConfig:
     loss_cls: float = 0.0
     loss_cls_emb: float = 2.0
     loss_grounding: float = 2.0
+    loss_caption_align: float = 2.0
     loss_caption_generation: float = 2.0
     loss_mask: float = 5.0
     loss_dice: float = 5.0
@@ -71,6 +72,13 @@ class CriterionConfig:
     # behavior flags (reference mask2former_head.py:175-194)
     use_class_emb: bool = True
     use_caption: bool = True
+    # reference mask2former_head.py:583-589: a LOCAL-batch (no gather)
+    # contrastive alignment between query embeddings and caption-noun
+    # embeddings. Off in every shipped reference config; the reference
+    # builds the module from cfg (never shipped) and its call site passes
+    # no temperature, so the concrete loss is underdetermined there — we
+    # pin it to the grounding InfoNCE math at the criterion temperature.
+    use_caption_align: bool = False
     use_caption_generation: bool = True
     class_agnostic: bool = False
     loss_only_last: bool = False
@@ -362,7 +370,7 @@ def compute_losses(
         cls_emb_logits = None
 
     # caption word embeddings (frozen BERT table)
-    if cfg.use_caption or cfg.use_caption_generation:
+    if cfg.use_caption or cfg.use_caption_generation or cfg.use_caption_align:
         assert caption_embed is not None
         caption_embs = caption_embed(batch["caption_ids"])  # (B, T, d)
         nouns_embs = caption_embed(batch["caption_nouns_ids"])  # (B, Tn, d)
@@ -444,6 +452,22 @@ def compute_losses(
                 g_nouns_embs,
                 g_nouns_mask,
                 temperature,
+            )
+
+        if cfg.use_caption_align:
+            # local-batch alignment: unlike loss_grounding, the reference
+            # computes this on the DEVICE-LOCAL cls_emb_preds (:583-586,
+            # no gather_captions_and_preds), so a data-parallel run's
+            # value is the mean of per-device local-batch losses
+            align = grounding_loss(
+                cls_emb_preds[li],
+                nouns_embs,
+                batch["caption_nouns_mask"],
+                temperature,
+            )
+            losses["loss_caption_align"] = cfg.loss_caption_align * (
+                psum(align)
+                / (jax.lax.psum(1, axis_name) if axis_name is not None else 1)
             )
 
         if cfg.use_caption_generation:

@@ -106,6 +106,60 @@ class TestCheckpoint:
             np.asarray(restored.params["w"]), np.asarray(state.params["w"])
         )
 
+    def test_checksum_verifies_and_detects_corruption(self, tmp_path):
+        import json
+
+        import optax
+
+        from betrayed_by_captions_tpu.engine.checkpoint import (
+            restore_checkpoint,
+            save_checkpoint,
+        )
+        from betrayed_by_captions_tpu.engine.train_state import (
+            create_train_state,
+        )
+
+        tx = optax.adam(1e-3)
+        state = create_train_state({"w": jnp.arange(4.0)}, tx)
+        ckpt_dir = str(tmp_path / "ck")
+        save_checkpoint(ckpt_dir, state, step=1, checksum=True)
+        sums_path = tmp_path / "ck" / "checksums_1.json"
+        assert sums_path.exists()
+
+        fresh = create_train_state({"w": jnp.zeros(4)}, tx)
+        restored, step = restore_checkpoint(ckpt_dir, fresh)
+        assert step == 1
+        np.testing.assert_array_equal(
+            np.asarray(restored.params["w"]), np.arange(4.0)
+        )
+
+        # corrupt the recorded hash -> restore must refuse
+        sums = json.loads(sums_path.read_text())
+        key = next(iter(sums))
+        sums[key][2] = "0" * 64
+        sums_path.write_text(json.dumps(sums))
+        with pytest.raises(RuntimeError, match="infidelity"):
+            restore_checkpoint(ckpt_dir, fresh)
+
+    def test_checksum_rotation(self, tmp_path):
+        import optax
+
+        from betrayed_by_captions_tpu.engine.checkpoint import save_checkpoint
+        from betrayed_by_captions_tpu.engine.train_state import (
+            create_train_state,
+        )
+
+        state = create_train_state({"w": jnp.ones(2)}, optax.sgd(0.1))
+        ckpt_dir = tmp_path / "ck"
+        for step in (1, 2, 3):
+            save_checkpoint(
+                str(ckpt_dir), state, step=step, max_keep=2, checksum=True
+            )
+        names = sorted(
+            p.name for p in ckpt_dir.iterdir() if p.name.startswith("checksums")
+        )
+        assert names == ["checksums_2.json", "checksums_3.json"]
+
     def test_rotation(self, tmp_path):
         import optax
 

@@ -31,38 +31,17 @@ from betrayed_by_captions_tpu.utils.compile_cache import enable_persistent_cache
 enable_persistent_cache()
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=500,
-                    help="with 8 images and global batch 8, 1 step/epoch")
-    ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--hw", type=int, default=1024)
-    ap.add_argument("--out", default="work_dirs/soak")
-    ap.add_argument("--resume", action="store_true")
-    ap.add_argument("--window", type=int, default=8)
-    ap.add_argument("--cache-samples", action="store_true",
-                    help="freeze augmentation after first visit (loader "
-                    "cache) — only for hosts whose cores cannot re-augment "
-                    "batch x hw^2 images per step; the default relies on "
-                    "the forked process workers (round-4 loader)")
-    ap.add_argument("--cpu", action="store_true",
-                    help="tiny CPU smoke (forces hw=64 shapes)")
-    args = ap.parse_args()
-
-    if args.cpu:
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
-
+def build_soak_cfg(args):
+    """The soak's full config from parsed args — shared with
+    tools/resume_probe.py, which must reconstruct the EXACT training
+    setup (model, optimizer tree, data, criterion) to recompute losses
+    against a soak checkpoint."""
     import jax
-    import numpy as np
 
-    import betrayed_by_captions_tpu.engine.train_loop as tl
     from betrayed_by_captions_tpu.data.synthetic import (
         tiny_overfit_config,
         write_synthetic_coco,
     )
-    from betrayed_by_captions_tpu.models import bert as bert_mod
 
     hw = 64 if args.cpu else args.hw
     paths = write_synthetic_coco(
@@ -97,7 +76,62 @@ def main():
     cfg.criterion.num_points = 12544
     cfg.criterion.gt_point_downsample = 4
     cfg.optimizer.frozen_backbone_stages = 3  # finetune-config convention
-    cfg.optimizer.lr_steps = (int(args.epochs * 0.9),)
+    # soak legs verify restore fidelity bit-exactly (per-leaf sha256 at
+    # save, asserted at restore) — the round-4 resume-loss discontinuity
+    # was undiagnosable without it (advisor round-4 medium)
+    cfg.checkpoint_checksum = True
+    return cfg
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=500,
+                    help="with 8 images and global batch 8, 1 step/epoch")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--hw", type=int, default=1024)
+    ap.add_argument("--out", default="work_dirs/soak")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--window", type=int, default=8)
+    ap.add_argument("--cache-samples", action="store_true",
+                    help="freeze augmentation after first visit (loader "
+                    "cache) — only for hosts whose cores cannot re-augment "
+                    "batch x hw^2 images per step; the default relies on "
+                    "the forked process workers (round-4 loader)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="tiny CPU smoke (forces hw=64 shapes)")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+    import numpy as np
+
+    import betrayed_by_captions_tpu.engine.train_loop as tl
+    from betrayed_by_captions_tpu.models import bert as bert_mod
+
+    cfg = build_soak_cfg(args)
+    # Pin the LR schedule across resume legs: the schedule is a function
+    # of global_step and lr_steps, so re-deriving lr_steps from THIS
+    # leg's --epochs would silently train a resumed leg on a different
+    # schedule than the pre-crash leg (round-4 reresume trained at the
+    # post-decay lr because its recomputed step landed past the new
+    # boundary).  First leg persists the schedule; later legs reuse it.
+    sched_path = os.path.join(args.out, "soak_schedule.json")
+    if args.resume and os.path.exists(sched_path):
+        with open(sched_path) as f:
+            sched = json.load(f)
+        cfg.optimizer.lr_steps = tuple(sched["lr_steps"])
+        print(f"soak: pinned LR schedule from first leg: {sched}",
+              file=sys.stderr)
+    else:
+        cfg.optimizer.lr_steps = (int(args.epochs * 0.9),)
+        os.makedirs(args.out, exist_ok=True)
+        with open(sched_path, "w") as f:
+            json.dump({"epochs": args.epochs,
+                       "lr_steps": list(cfg.optimizer.lr_steps)}, f)
     # log_interval=1 (tiny_overfit_config): every metrics.jsonl record
     # carries a per-step synced "time"; sample HBM watermarks per epoch
     cfg.log_device_memory = True

@@ -65,9 +65,13 @@ def main():
     assert back[0, 0] == 1.0
     mb = host.nbytes / 1e6
 
-    # tiny fresh compile (uncacheable shape salt from the clock so the
-    # persistent cache cannot hide the remote-compile latency)
-    salt = int(time.time()) % 97 + 3
+    # tiny fresh compile (uncacheable shape salt mixing pid and a
+    # sub-second clock component so neither the in-process cache nor a
+    # persistent JAX_COMPILATION_CACHE_DIR can hide remote-compile
+    # latency — two probes seconds apart must not collide)
+    import os
+
+    salt = (int(time.time() * 997) ^ os.getpid()) % 4093 + 3
     g = jax.jit(lambda v: (v @ v.T).sum())
     t = time.perf_counter()
     float(g(jnp.ones((salt, 128), jnp.float32)))
