@@ -62,6 +62,7 @@ class DataLoader:
         process_count: Optional[int] = None,
         process_index: Optional[int] = None,
         cache_samples: bool = False,
+        cache_fill_epoch: int = 0,
         worker_type: str = "process",
     ):
         """``batch_size`` is the PER-PROCESS (local) batch. Under
@@ -76,7 +77,13 @@ class DataLoader:
         freezes per-epoch augmentation randomness — use it only where
         that is the point (sustained-throughput soaks on hosts whose CPU
         cannot re-augment at chip rate, tools/soak_train.py), never for
-        real training runs.
+        real training runs.  Cache misses are ALWAYS augmented at
+        ``cache_fill_epoch`` (default 0), not the current epoch: a
+        restarted soak leg therefore refills the cache with exactly the
+        first leg's samples, keeping the loss trajectory continuous
+        across restore (round-4's resume-loss "discontinuity" was
+        precisely a current-epoch refill: the model had overfit the old
+        frozen samples — confirmed by tools/resume_probe.py, round 5).
 
         ``worker_type``: 'process' (default, forked workers — see module
         docstring) or 'thread' (the round-3 GIL-bound path; also the
@@ -124,6 +131,7 @@ class DataLoader:
         self.process_index = process_index
         self.worker_type = worker_type
         self.epoch = 0
+        self.cache_fill_epoch = cache_fill_epoch
         self._sample_cache: Optional[dict] = {} if cache_samples else None
 
     def __len__(self) -> int:
@@ -161,12 +169,24 @@ class DataLoader:
         def fetch_cached(pool_map, batch_idx):
             """Serve from the sample cache, filling misses via the pool;
             cached tuple metas are shallow-copied so a downstream in-place
-            mutation cannot corrupt later epochs (advisor, round 3)."""
+            mutation cannot corrupt later epochs (advisor, round 3).
+            Misses augment at the PINNED fill epoch so a restarted run
+            rebuilds the identical cache (see __init__ docstring)."""
             cache = self._sample_cache
             miss = [int(i) for i in batch_idx if int(i) not in cache]
             if miss:
-                for i, s in zip(miss, pool_map(miss)):
-                    cache[i] = s
+                pinned = (
+                    hasattr(self.dataset, "set_epoch")
+                    and self.epoch != self.cache_fill_epoch
+                )
+                if pinned:
+                    self.dataset.set_epoch(self.cache_fill_epoch)
+                try:
+                    for i, s in zip(miss, pool_map(miss)):
+                        cache[i] = s
+                finally:
+                    if pinned:
+                        self.dataset.set_epoch(self.epoch)
             out = []
             for i in batch_idx:
                 s = cache[int(i)]

@@ -304,9 +304,51 @@ def _merged_kernel_packed(
         mask_ref = None
         o_ref = refs[4 * nl]
 
-    # compact levels get VMEM scratch holding the expanded / padded /
-    # phase-decimated image(s); scratch refs follow the output ref in
-    # order ('finer_raw' takes k slots, one per column phase)
+    n_scr = _num_scratches(level_cfgs)
+    ref0 = 4 * nl + (2 if sparse else 1)
+    scr_refs = refs[ref0 : ref0 + n_scr]
+    _merged_group_body(
+        v_refs, fx_refs, fy_refs, at_refs, mask_ref, o_ref, scr_refs,
+        rb=rb, ha=ha, d=d, p=p, wpad=wpad, level_cfgs=level_cfgs, hp=hp,
+        out_t=out_t, sparse=sparse,
+    )
+
+
+def _num_scratches(level_cfgs) -> int:
+    n = 0
+    for cfg in level_cfgs:
+        if cfg[0] in ("coarser_small", "same_raw"):
+            n += 1
+        elif cfg[0] == "finer_raw":
+            n += cfg[1]
+    return n
+
+
+def _merged_group_body(
+    v_refs, fx_refs, fy_refs, at_refs, mask_ref, o_ref, scr_refs,
+    *,
+    rb: int,
+    ha: int,
+    d: int,
+    p: int,
+    wpad: int,
+    level_cfgs: Tuple[Tuple[str, int, int, int], ...],
+    hp: int,
+    out_t: bool = False,
+    sparse: bool = False,
+):
+    """One query level's full merged-kernel work from explicit refs.
+
+    Factored out of ``_merged_kernel_packed`` so the multi-query-level
+    kernel (``_multi_group_kernel``) can run several query levels'
+    bodies SEQUENTIALLY inside a single ``pallas_call`` — the coarse
+    query levels' launches are fixed-overhead dominated (PERF.md round
+    10: stride-16/32 at 10.2/7.5 ms/layer vs 25.9 for stride-8 with
+    1/4 and 1/16 of the queries), and one launch per layer removes that
+    duplicated per-launch/per-grid-step cost.  The CUDA counterpart runs
+    ALL query levels in one launch (mmcv ``ms_deform_attn``,
+    /root/reference/configs/instance/coco_b48n17.py:48-58)."""
+    nl = len(level_cfgs)
     scr_idx = {}
     n_scr = 0
     for li, cfg in enumerate(level_cfgs):
@@ -316,8 +358,6 @@ def _merged_kernel_packed(
         elif cfg[0] == "finer_raw":
             scr_idx[li] = n_scr
             n_scr += cfg[1]
-    ref0 = 4 * nl + (2 if sparse else 1)
-    scr_refs = refs[ref0 : ref0 + n_scr]
     # static word offset of each level's column words in the mask row
     word_offs = []
     _wo = 0
@@ -627,6 +667,133 @@ def _mask_words(fx, fy, wl: int, rb: int, qw: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _scratch_shapes(level_cfgs, hp, d, ha_pad, wpad):
+    """VMEM scratches (see _merged_group_body): lane-expanded small
+    image per coarser_small level, padded image per same_raw level, k
+    column-phase images per finer_raw level; lanes cover the largest
+    static column slice, rounded to full tiles."""
+    shapes = []
+    for c in level_cfgs:
+        wl = c[5]
+        if c[0] == "coarser_small":
+            shapes.append(
+                pltpu.VMEM(
+                    (
+                        hp,
+                        c[3],
+                        d,
+                        _round_up(wpad + c[1] * (wl + 1), 128),
+                    ),
+                    jnp.bfloat16,
+                )
+            )
+        elif c[0] == "same_raw":
+            shapes.append(
+                pltpu.VMEM(
+                    (
+                        hp,
+                        ha_pad + wl + 1,
+                        d,
+                        _round_up(wpad + wl + 1, 128),
+                    ),
+                    jnp.bfloat16,
+                )
+            )
+        elif c[0] == "finer_raw":
+            k = c[1]
+            pad_w = wl // 2
+            mt = _finer_margin(k, wl)
+            moff = _finer_max_off(k, wl)
+            mt_r = max(0, pad_w - 1 - (k - 1) // 2)
+            rows_scr = mt_r + max(
+                c[3],
+                k * (ha_pad - 1) + (k - 1) // 2 + wl - pad_w + 1,
+            )
+            cols_scr = _round_up(mt + moff + wpad + 1, 128)
+            for _ in range(k):
+                shapes.append(
+                    pltpu.VMEM((hp, rows_scr, d, cols_scr), jnp.bfloat16)
+                )
+    return shapes
+
+
+def _pair_backward_fn(level_cfg, b, nh, rb, ha_pad, p, d, wpad, interpret):
+    """Differentiable per-(query, value)-pair forward for the VJP: the
+    compact in-kernel prep modes map back to their classic XLA preps
+    (broadcast / phase decomposition / pad — all differentiable), so the
+    backward reuses the proven per-pair backward kernels regardless of
+    which forward kernel (single- or multi-query-level) produced the
+    output."""
+    mode, k, phase_rows, rows_v, cols_v, wl = level_cfg
+    if mode == "coarser_small":
+        # backward-only: materialize the classic upsampled prep
+        # (XLA broadcast, differentiable — its transpose is the
+        # k x k block-sum) and reuse the 'coarser' pair backward
+        pair_raw = _make_pair_fn(
+            (b, nh, wl, rb, ha_pad, p, d, wpad, "coarser", k,
+             0, rows_v * k, cols_v * k, interpret, "cell", 1)
+        )
+        return functools.partial(
+            lambda pf, kk, pr, fx, fy, at: pf(
+                _expand_coarser(pr, kk), fx, fy, at
+            ),
+            pair_raw,
+            k,
+        )
+    if mode == "finer_raw":
+        # backward-only: classic phase decomposition (reshape/
+        # transpose/pad — all differentiable)
+        mt = _finer_margin(k, wl)
+        moff = _finer_max_off(k, wl)
+        ph_rows = mt + ha_pad + moff + 1
+        ph_cols = mt + cols_v // k + moff + 2
+        pair_raw = _make_pair_fn(
+            (b, nh, wl, rb, ha_pad, p, d, wpad, "finer", k,
+             ph_rows, k * k * ph_rows, ph_cols, interpret,
+             "cell", 1)
+        )
+        return functools.partial(
+            lambda pf, kk, pr, fx, fy, at: pf(
+                _decompose_finer(pr, kk, wl, ha_pad)[0],
+                fx, fy, at,
+            ),
+            pair_raw,
+            k,
+        )
+    if mode == "same_raw":
+        # backward-only: classic padded prep (pad is
+        # differentiable — its transpose is a slice)
+        rows_c = ha_pad + wl + 1
+        cols_c = wpad + wl + 1
+        pair_raw = _make_pair_fn(
+            (b, nh, wl, rb, ha_pad, p, d, wpad, "same", 1,
+             0, rows_c, cols_c, interpret, "cell", 1)
+        )
+        pw = wl // 2
+
+        def _pad_same(pr, _rows=rows_c, _cols=cols_c, _pw=pw):
+            return jnp.pad(
+                pr,
+                (
+                    (0, 0),
+                    (0, 0),
+                    (_pw, _rows - _pw - pr.shape[2]),
+                    (0, 0),
+                    (_pw, _cols - _pw - pr.shape[4]),
+                ),
+            )
+
+        return functools.partial(
+            lambda pf, padf, pr, fx, fy, at: pf(padf(pr), fx, fy, at),
+            pair_raw,
+            _pad_same,
+        )
+    return _make_pair_fn(
+        (b, nh, wl, rb, ha_pad, p, d, wpad, mode, k,
+         phase_rows, rows_v, cols_v, interpret, "cell", 1)
+    )
+
+
 def _make_level_fn(cfg):
     """Cached custom-VJP function for one QUERY level over all value
     levels, with the level-merged packed forward kernel and the per-pair
@@ -668,51 +835,7 @@ def _make_level_fn(cfg):
         x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
         return x.reshape(b, nh // hp, ha_pad, hp * p, wpad)
 
-    # VMEM scratches (see _merged_kernel_packed): lane-expanded small
-    # image per coarser_small level, padded image per same_raw level;
-    # lanes cover the largest static column slice, rounded to full tiles
-    scratch_shapes = []
-    for c in level_cfgs:
-        wl = c[5]
-        if c[0] == "coarser_small":
-            scratch_shapes.append(
-                pltpu.VMEM(
-                    (
-                        hp,
-                        c[3],
-                        d,
-                        _round_up(wpad + c[1] * (wl + 1), 128),
-                    ),
-                    jnp.bfloat16,
-                )
-            )
-        elif c[0] == "same_raw":
-            scratch_shapes.append(
-                pltpu.VMEM(
-                    (
-                        hp,
-                        ha_pad + wl + 1,
-                        d,
-                        _round_up(wpad + wl + 1, 128),
-                    ),
-                    jnp.bfloat16,
-                )
-            )
-        elif c[0] == "finer_raw":
-            k = c[1]
-            pad_w = wl // 2
-            mt = _finer_margin(k, wl)
-            moff = _finer_max_off(k, wl)
-            mt_r = max(0, pad_w - 1 - (k - 1) // 2)
-            rows_scr = mt_r + max(
-                c[3],
-                k * (ha_pad - 1) + (k - 1) // 2 + wl - pad_w + 1,
-            )
-            cols_scr = _round_up(mt + moff + wpad + 1, 128)
-            for _ in range(k):
-                scratch_shapes.append(
-                    pltpu.VMEM((hp, rows_scr, d, cols_scr), jnp.bfloat16)
-                )
+    scratch_shapes = _scratch_shapes(level_cfgs, hp, d, ha_pad, wpad)
 
     def fwd(preps, fxs, fys, ats):
         if _coord16_enabled():
@@ -793,79 +916,10 @@ def _make_level_fn(cfg):
             # cotangent layout (training-only relayout)
             g = jnp.transpose(g, (0, 1, 3, 2, 4))
         d_preps, d_fxs, d_fys, d_ats = [], [], [], []
-        for li, (mode, k, phase_rows, rows_v, cols_v, wl) in enumerate(
-            level_cfgs
-        ):
-            if mode == "coarser_small":
-                # backward-only: materialize the classic upsampled prep
-                # (XLA broadcast, differentiable — its transpose is the
-                # k x k block-sum) and reuse the 'coarser' pair backward
-                pair_raw = _make_pair_fn(
-                    (b, nh, wl, rb, ha_pad, p, d, wpad, "coarser", k,
-                     0, rows_v * k, cols_v * k, interpret, "cell", 1)
-                )
-                pair_fn = functools.partial(
-                    lambda pf, kk, pr, fx, fy, at: pf(
-                        _expand_coarser(pr, kk), fx, fy, at
-                    ),
-                    pair_raw,
-                    k,
-                )
-            elif mode == "finer_raw":
-                # backward-only: classic phase decomposition (reshape/
-                # transpose/pad — all differentiable)
-                mt = _finer_margin(k, wl)
-                moff = _finer_max_off(k, wl)
-                ph_rows = mt + ha_pad + moff + 1
-                ph_cols = mt + cols_v // k + moff + 2
-                pair_raw = _make_pair_fn(
-                    (b, nh, wl, rb, ha_pad, p, d, wpad, "finer", k,
-                     ph_rows, k * k * ph_rows, ph_cols, interpret,
-                     "cell", 1)
-                )
-                pair_fn = functools.partial(
-                    lambda pf, kk, pr, fx, fy, at: pf(
-                        _decompose_finer(pr, kk, wl, ha_pad)[0],
-                        fx, fy, at,
-                    ),
-                    pair_raw,
-                    k,
-                )
-            elif mode == "same_raw":
-                # backward-only: classic padded prep (pad is
-                # differentiable — its transpose is a slice)
-                rows_c = ha_pad + wl + 1
-                cols_c = wpad + wl + 1
-                pair_raw = _make_pair_fn(
-                    (b, nh, wl, rb, ha_pad, p, d, wpad, "same", 1,
-                     0, rows_c, cols_c, interpret, "cell", 1)
-                )
-                pw = wl // 2
-
-                def _pad_same(pr, _rows=rows_c, _cols=cols_c, _pw=pw):
-                    return jnp.pad(
-                        pr,
-                        (
-                            (0, 0),
-                            (0, 0),
-                            (_pw, _rows - _pw - pr.shape[2]),
-                            (0, 0),
-                            (_pw, _cols - _pw - pr.shape[4]),
-                        ),
-                    )
-
-                pair_fn = functools.partial(
-                    lambda pf, padf, pr, fx, fy, at: pf(
-                        padf(pr), fx, fy, at
-                    ),
-                    pair_raw,
-                    _pad_same,
-                )
-            else:
-                pair_fn = _make_pair_fn(
-                    (b, nh, wl, rb, ha_pad, p, d, wpad, mode, k,
-                     phase_rows, rows_v, cols_v, interpret, "cell", 1)
-                )
+        for li, lvl_cfg in enumerate(level_cfgs):
+            pair_fn = _pair_backward_fn(
+                lvl_cfg, b, nh, rb, ha_pad, p, d, wpad, interpret
+            )
             _, pair_bwd = jax.vjp(
                 pair_fn,
                 preps[li],
@@ -892,6 +946,177 @@ def _make_level_fn(cfg):
         bwd,
     )
     return level_fn
+
+
+def _multi_group_kernel(*refs, groups, d: int, p: int, hp: int):
+    """SEVERAL query levels in ONE kernel launch, run sequentially.
+
+    ``groups`` is a tuple of (rb, ha_pad, wpad, level_cfgs6, out_t) per
+    query level; refs = per group (nl preps, nl fx, nl fy, nl at), then
+    one output per group, then the groups' scratches in order.  The
+    coarse query levels' separate launches are fixed-overhead dominated
+    (PERF.md round 10), so folding them into one ``pallas_call`` removes
+    the duplicated per-launch and per-grid-step cost; each group's body
+    is the proven ``_merged_group_body``.  CUDA counterpart: one launch
+    for ALL levels, mmcv ``ms_deform_attn``
+    (/root/reference/configs/instance/coco_b48n17.py:48-58)."""
+    idx = 0
+    g_ins = []
+    for (rb, ha, wpad, lcfgs, out_t) in groups:
+        nl = len(lcfgs)
+        g_ins.append(refs[idx : idx + 4 * nl])
+        idx += 4 * nl
+    g_outs = refs[idx : idx + len(groups)]
+    idx += len(groups)
+    for gi, (rb, ha, wpad, lcfgs, out_t) in enumerate(groups):
+        nl = len(lcfgs)
+        n_scr = _num_scratches(lcfgs)
+        scr = refs[idx : idx + n_scr]
+        idx += n_scr
+        gin = g_ins[gi]
+        _merged_group_body(
+            gin[:nl],
+            gin[nl : 2 * nl],
+            gin[2 * nl : 3 * nl],
+            gin[3 * nl : 4 * nl],
+            None,
+            g_outs[gi],
+            scr,
+            rb=rb,
+            ha=ha,
+            d=d,
+            p=p,
+            wpad=wpad,
+            level_cfgs=tuple(c[:3] + (c[5],) for c in lcfgs),
+            hp=hp,
+            out_t=out_t,
+            sparse=False,
+        )
+
+
+def _make_multi_level_fn(cfg):
+    """Custom-VJP function launching SEVERAL query levels in one
+    ``pallas_call`` (see ``_multi_group_kernel``).  The backward
+    decomposes per (query level, value level) pair exactly as the
+    single-level path — the forward grouping changes launch structure,
+    not math.
+
+    cfg = (b, nh, rb, p, d, hp, interpret, groups) with groups a tuple
+    of (rb, ha_pad, wpad, level_cfgs6, out_t)."""
+    (b, nh, rb, p, d, hp, interpret, groups) = cfg
+    grp = nh // hp
+
+    def spec(shape, heads=1):
+        nd = len(shape)
+        return pl.BlockSpec(
+            (1, heads) + shape,
+            lambda bb, hh: (bb, hh) + (0,) * nd,
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs = []
+    out_specs = []
+    out_shapes = []
+    scratch_shapes = []
+    for (g_rb, ha_pad, wpad, lcfgs, out_t) in groups:
+        in_specs += [spec((c[3], d, c[4]), heads=hp) for c in lcfgs]
+        wspec = spec((ha_pad, hp * p, wpad))
+        in_specs += [wspec] * (3 * len(lcfgs))
+        out_dims = (d, ha_pad, wpad) if out_t else (ha_pad, d, wpad)
+        out_specs.append(spec(out_dims, heads=hp))
+        out_shapes.append(
+            jax.ShapeDtypeStruct((b, nh) + out_dims, jnp.bfloat16)
+        )
+        scratch_shapes += _scratch_shapes(lcfgs, hp, d, ha_pad, wpad)
+
+    kernel = functools.partial(
+        _multi_group_kernel, groups=groups, d=d, p=p, hp=hp
+    )
+
+    def fwd(preps, fxs, fys, ats):
+        if _coord16_enabled():
+            fxs = tuple(
+                tuple(jnp.round(x * 4096.0).astype(jnp.int16) for x in g)
+                for g in fxs
+            )
+            fys = tuple(
+                tuple(jnp.round(x * 4096.0).astype(jnp.int16) for x in g)
+                for g in fys
+            )
+        ops = []
+        for gi in range(len(groups)):
+            ops += (
+                list(preps[gi]) + list(fxs[gi]) + list(fys[gi])
+                + list(ats[gi])
+            )
+        return pl.pallas_call(
+            kernel,
+            grid=(b, grp),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shapes),
+            scratch_shapes=scratch_shapes,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(*ops)
+
+    def bwd(res, g_all):
+        preps, fxs, fys, ats = res
+        d_preps, d_fxs, d_fys, d_ats = [], [], [], []
+        for gi, (g_rb, ha_pad, wpad, lcfgs, out_t) in enumerate(groups):
+            g = g_all[gi]
+            if out_t:
+                g = jnp.transpose(g, (0, 1, 3, 2, 4))
+
+            def unpack(x, _ha=ha_pad, _w=wpad):
+                x = x.reshape(b, nh // hp, _ha, hp, p, _w)
+                x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+                return x.reshape(b, nh, _ha, p, _w)
+
+            def repack(x, _ha=ha_pad, _w=wpad):
+                x = x.reshape(b, nh // hp, hp, _ha, p, _w)
+                x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+                return x.reshape(b, nh // hp, _ha, hp * p, _w)
+
+            dg_p, dg_fx, dg_fy, dg_at = [], [], [], []
+            for li, lvl_cfg in enumerate(lcfgs):
+                pair_fn = _pair_backward_fn(
+                    lvl_cfg, b, nh, g_rb, ha_pad, p, d, wpad, interpret
+                )
+                _, pair_bwd = jax.vjp(
+                    pair_fn,
+                    preps[gi][li],
+                    unpack(fxs[gi][li]),
+                    unpack(fys[gi][li]),
+                    unpack(ats[gi][li]),
+                )
+                dp, dfx, dfy, dat = pair_bwd(g)
+                dg_p.append(dp)
+                dg_fx.append(repack(dfx))
+                dg_fy.append(repack(dfy))
+                dg_at.append(repack(dat))
+            d_preps.append(tuple(dg_p))
+            d_fxs.append(tuple(dg_fx))
+            d_fys.append(tuple(dg_fy))
+            d_ats.append(tuple(dg_at))
+        return (
+            tuple(d_preps), tuple(d_fxs), tuple(d_fys), tuple(d_ats)
+        )
+
+    @jax.custom_vjp
+    def multi_fn(preps, fxs, fys, ats):
+        return fwd(preps, fxs, fys, ats)
+
+    multi_fn.defvjp(
+        lambda preps, fxs, fys, ats: (
+            fwd(preps, fxs, fys, ats),
+            (preps, fxs, fys, ats),
+        ),
+        bwd,
+    )
+    return multi_fn
 
 
 def _finer_margin(k: int, window: int) -> int:
@@ -1290,6 +1515,39 @@ def _sparse_enabled() -> bool:
     return os.environ.get("DEFORM_SPARSE", "0") != "0"
 
 
+def _qmerge_groups(nl_q: int, hps) -> Tuple[Tuple[int, ...], ...]:
+    """Partition query levels into launch groups per DEFORM_QMERGE:
+
+    - '0' (default): one launch per query level (round-4 behavior),
+    - 'coarse': fold every query level EXCEPT the finest into one
+      launch — the coarse levels are the fixed-overhead-dominated ones
+      (PERF.md round 10: stride-16/32 at 10.2/7.5 ms/layer carry 1/4
+      and 1/16 of stride-8's queries),
+    - 'all': one launch for everything (the CUDA kernel's structure).
+
+    Levels with differing per-level hp (DEFORM_HP list) cannot share a
+    grid and stay singleton.  Sparse masks are per-single-level only, so
+    an enabled DEFORM_SPARSE also forces singletons."""
+    import os
+
+    mode = os.environ.get("DEFORM_QMERGE", "0")
+    if mode == "0" or nl_q < 2 or _sparse_enabled():
+        return tuple((i,) for i in range(nl_q))
+    start = 1 if mode == "coarse" else 0
+    groups = [(i,) for i in range(start)]
+    bulk = []
+    for i in range(start, nl_q):
+        if bulk and hps[i] != hps[bulk[0]]:
+            groups.append(tuple(bulk))
+            bulk = []
+        bulk.append(i)
+    if len(bulk) == 1:
+        groups.append((bulk[0],))
+    elif bulk:
+        groups.append(tuple(bulk))
+    return tuple(groups)
+
+
 def _heads_per_step(nh: int, q_level: int = 0) -> int:
     """Heads packed per merged-kernel grid step. DEFORM_HP (default 2)
     is an on-chip A/B knob: hp=4 halves the grid (less launch/pipeline
@@ -1527,7 +1785,7 @@ def windowed_ms_deform_attn_pallas_cm(
             _vcache[key] = v
         return _vcache[key]
 
-    outs: List[jnp.ndarray] = []
+    packs = []
     for ai, (ha, wa) in enumerate(spatial_shapes):
         hp = _heads_per_step(nh, ai)
         grp = nh // hp
@@ -1608,23 +1866,61 @@ def windowed_ms_deform_attn_pallas_cm(
             (m[4], m[5], m[6], m[0].shape[2], m[0].shape[4], m[7])
             for m in merged
         )
-        out_t = _out_t_enabled()
-        level_fn = _make_level_fn(
-            (b, nh, rb, ha_pad, p, d, wpad, hp, interpret, level_cfgs,
-             out_t, _sparse_enabled(), qw)
-        )
-        acc = level_fn(
-            tuple(m[0] for m in merged),
-            tuple(m[1] for m in merged),
-            tuple(m[2] for m in merged),
-            tuple(m[3] for m in merged),
-        )
-        if out_t:  # kernel stored channels-major directly
-            outs.append(acc[:, :, :, :qh, :qw])
-        else:
-            outs.append(
-                jnp.transpose(acc[:, :, :qh, :, :qw], (0, 1, 3, 2, 4))
+        packs.append(
+            dict(
+                hp=hp,
+                ha_pad=ha_pad,
+                wpad=wpad,
+                qh=qh,
+                qw=qw,
+                level_cfgs=level_cfgs,
+                preps=tuple(m[0] for m in merged),
+                fxs=tuple(m[1] for m in merged),
+                fys=tuple(m[2] for m in merged),
+                ats=tuple(m[3] for m in merged),
             )
+        )
+
+    out_t = _out_t_enabled()
+
+    def crop(acc, pk_):
+        if out_t:  # kernel stored channels-major directly
+            return acc[:, :, :, : pk_["qh"], : pk_["qw"]]
+        return jnp.transpose(
+            acc[:, :, : pk_["qh"], :, : pk_["qw"]], (0, 1, 3, 2, 4)
+        )
+
+    outs: List[jnp.ndarray] = [None] * len(spatial_shapes)
+    for group in _qmerge_groups(
+        len(spatial_shapes), [pk_["hp"] for pk_ in packs]
+    ):
+        if len(group) == 1:
+            ai = group[0]
+            pk_ = packs[ai]
+            level_fn = _make_level_fn(
+                (b, nh, rb, pk_["ha_pad"], p, d, pk_["wpad"], pk_["hp"],
+                 interpret, pk_["level_cfgs"], out_t, _sparse_enabled(),
+                 pk_["qw"])
+            )
+            acc = level_fn(pk_["preps"], pk_["fxs"], pk_["fys"], pk_["ats"])
+            outs[ai] = crop(acc, pk_)
+        else:
+            gspecs = tuple(
+                (rb, packs[ai]["ha_pad"], packs[ai]["wpad"],
+                 packs[ai]["level_cfgs"], out_t)
+                for ai in group
+            )
+            multi_fn = _make_multi_level_fn(
+                (b, nh, rb, p, d, packs[group[0]]["hp"], interpret, gspecs)
+            )
+            accs = multi_fn(
+                tuple(packs[ai]["preps"] for ai in group),
+                tuple(packs[ai]["fxs"] for ai in group),
+                tuple(packs[ai]["fys"] for ai in group),
+                tuple(packs[ai]["ats"] for ai in group),
+            )
+            for gi, ai in enumerate(group):
+                outs[ai] = crop(accs[gi], packs[ai])
     return outs
 
 

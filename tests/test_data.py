@@ -240,6 +240,44 @@ class TestDataset:
         ]
         assert flat[0] == flat[1] == flat[2] == [0.0, 1.0, 2.0, 3.0, 4.0, 5.0]
 
+    def test_loader_cache_fill_epoch_pinned(self):
+        """A cache filled mid-run (e.g. a restarted soak leg resuming at
+        epoch 200) must hold the SAME samples as a cache filled at epoch
+        0: misses augment at the pinned cache_fill_epoch, not the
+        current epoch.  Round-4's resume-loss 'discontinuity' was a
+        current-epoch refill against a model overfit to the first leg's
+        frozen samples (tools/resume_probe.py, round 5)."""
+
+        class EpochDataset:
+            def __init__(self, n):
+                self.n = n
+                self.epoch = 0
+
+            def __len__(self):
+                return self.n
+
+            def set_epoch(self, e):
+                self.epoch = e
+
+            def __getitem__(self, i):
+                # sample content depends on the epoch, like real
+                # per-(seed, epoch, idx) augmentation
+                return {
+                    "x": np.full((2,), 100.0 * self.epoch + i, np.float32)
+                }
+
+        def collect(loader, epoch):
+            loader.set_epoch(epoch)
+            return sorted(
+                float(b["x"][j, 0]) for b in loader for j in range(2)
+            )
+
+        kw = dict(batch_size=2, num_workers=2, seed=1, cache_samples=True,
+                  process_count=1, process_index=0)
+        first_leg = collect(DataLoader(EpochDataset(4), **kw), 0)
+        restarted = collect(DataLoader(EpochDataset(4), **kw), 200)
+        assert first_leg == restarted == [0.0, 1.0, 2.0, 3.0]
+
     def test_loader_deterministic_across_worker_counts(self, coco_fixture):
         """Augmentation/caption RNG is per-(seed, epoch, item), so batches
         are identical regardless of thread scheduling or worker count."""
