@@ -36,8 +36,9 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 # set in each forked worker by _init_worker; holds the dataset inherited
-# through fork so tasks only ship an integer index
+# through fork so tasks ship only (epoch, index)
 _WORKER_DATASET = None
+_WORKER_EPOCH = None
 
 
 def _init_worker(dataset):
@@ -45,7 +46,16 @@ def _init_worker(dataset):
     _WORKER_DATASET = dataset
 
 
-def _worker_fetch(i):
+def _worker_fetch(task):
+    """Fetch one sample; the task carries the epoch so a PERSISTENT
+    pool (forked once at loader construction) serves every epoch —
+    the parent's ``set_epoch`` happens after the fork and is invisible
+    to workers, so the epoch must ride along with the index."""
+    epoch, i = task
+    global _WORKER_EPOCH
+    if _WORKER_EPOCH != epoch and hasattr(_WORKER_DATASET, "set_epoch"):
+        _WORKER_DATASET.set_epoch(int(epoch))
+        _WORKER_EPOCH = epoch
     return _WORKER_DATASET[int(i)]
 
 
@@ -133,6 +143,36 @@ class DataLoader:
         self.epoch = 0
         self.cache_fill_epoch = cache_fill_epoch
         self._sample_cache: Optional[dict] = {} if cache_samples else None
+        # Persistent worker pool, forked ONCE here rather than per
+        # __iter__: the round-4 loader forked a fresh pool every epoch,
+        # which on the soak's 1-step epochs meant re-forking a
+        # multi-GB JAX parent per STEP — the dominant data_time term
+        # (19.6 s/batch vs ~1 s of actual sample work).  Construction
+        # time is also the safest fork point: train loops build the
+        # loader before the first device computation, sidestepping the
+        # fork-after-JAX-init deadlock lottery (os.fork warning in
+        # round-4 pytest).  Workers see the dataset as of THIS fork;
+        # per-epoch state is shipped inside each task (_worker_fetch).
+        self._pool = None
+        if self.worker_type == "process":
+            ctx = mp.get_context("fork")
+            self._pool = ctx.Pool(
+                self.num_workers,
+                initializer=_init_worker,
+                initargs=(self.dataset,),
+            )
+            import weakref
+
+            self._finalizer = weakref.finalize(
+                self, self._pool.terminate
+            )
+
+    def close(self):
+        """Terminate the persistent worker pool (tests / short-lived
+        loaders; training processes can rely on the GC finalizer)."""
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool = None
 
     def __len__(self) -> int:
         n = len(self.dataset) // self.process_count
@@ -226,21 +266,18 @@ class DataLoader:
         def produce():
             try:
                 if self.worker_type == "process":
-                    # fork AFTER set_epoch so workers capture the epoch's
-                    # dataset state; chunksize=1 keeps samples spread
-                    # across workers (a batch is only a handful of tasks)
-                    ctx = mp.get_context("fork")
-                    with ctx.Pool(
-                        self.num_workers,
-                        initializer=_init_worker,
-                        initargs=(self.dataset,),
-                    ) as pool:
-                        produce_with(
-                            lambda idx: pool.map(
-                                _worker_fetch, [int(i) for i in idx],
-                                chunksize=1,
-                            )
+                    # persistent pool (forked at construction); the
+                    # current epoch rides in each task. chunksize=1
+                    # keeps samples spread across workers (a batch is
+                    # only a handful of tasks)
+                    pool = self._pool
+                    produce_with(
+                        lambda idx: pool.map(
+                            _worker_fetch,
+                            [(self.epoch, int(i)) for i in idx],
+                            chunksize=1,
                         )
+                    )
                 else:
                     with ThreadPoolExecutor(self.num_workers) as pool:
                         produce_with(

@@ -257,6 +257,8 @@ def train(cfg: Config, work_dir: str, resume: bool = False):
                             f"@ epoch {epoch + 1}"
                         )
 
+    loader.close()  # terminate the persistent worker pool
+
     # final weights export: the file stage-2 configs init_from
     # (e.g. work_dirs/coco_ag_pretrain_3x/params.npz) and tools/test.py
     # consume — without it the two-stage recipe needs a manual export

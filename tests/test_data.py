@@ -240,6 +240,33 @@ class TestDataset:
         ]
         assert flat[0] == flat[1] == flat[2] == [0.0, 1.0, 2.0, 3.0, 4.0, 5.0]
 
+    def test_fused_mask_resize_crop_matches_cv2(self):
+        """The TrainTransform's fused nearest-resize+crop gather must
+        equal cv2.INTER_NEAREST resize followed by the crop, for up-
+        and down-scales and crops at both corners."""
+        from betrayed_by_captions_tpu.data.transforms import _resize_masks
+
+        rng = np.random.RandomState(7)
+        for (h, w, new_h, new_w, y0, x0, th, tw) in [
+            (40, 60, 80, 120, 10, 30, 48, 48),   # upscale, inner crop
+            (40, 60, 80, 120, 32, 72, 48, 48),   # upscale, far corner
+            (64, 64, 17, 17, 0, 0, 48, 48),      # downscale smaller than target
+            (33, 47, 33, 47, 0, 0, 33, 47),      # identity
+        ]:
+            masks = (rng.rand(3, h, w) > 0.5).astype(np.uint8)
+            want = _resize_masks(masks, new_w, new_h)[
+                :, y0 : y0 + th, x0 : x0 + tw
+            ]
+            ch, cw = min(th, new_h - y0), min(tw, new_w - x0)
+            src_rows = np.minimum(
+                (np.arange(y0, y0 + ch) * (h / new_h)).astype(np.intp), h - 1
+            )
+            src_cols = np.minimum(
+                (np.arange(x0, x0 + cw) * (w / new_w)).astype(np.intp), w - 1
+            )
+            got = masks[:, src_rows[:, None], src_cols[None, :]]
+            np.testing.assert_array_equal(got, want, err_msg=str((h, w, new_h)))
+
     def test_loader_cache_fill_epoch_pinned(self):
         """A cache filled mid-run (e.g. a restarted soak leg resuming at
         epoch 200) must hold the SAME samples as a cache filled at epoch
