@@ -54,10 +54,12 @@ A100_BASELINE_IPS = 19.4  # est.: mmdet Mask2Former-R50 V100 ~9.7 fps x2
 # throughput-optimal on v5e-1 (27.6 img/s vs 26.0 at batch 8);
 # BENCH_BATCH overrides for sweeps (tools/, PERF.md)
 BATCH = int(os.environ.get("BENCH_BATCH", "16"))
-# flagship sampling window (configs/instance/coco_b48n17.py); 4/6 are the
-# speed-first A/B settings; a comma tuple ("8,6,4") selects per-value-
-# level mixed windows (constant clamp reach in pixels across strides)
-_wspec = os.environ.get("BENCH_WINDOW", "8")
+# flagship sampling window (configs/instance/coco_b48n17.py): per-value-
+# level mixed windows (8, 6, 4) — constant clamp reach in pixels across
+# strides, 1.23x end-to-end vs W=8 (PERF.md round 12) at statistically
+# indistinguishable held-out accuracy over 3 seeds (ACCURACY.md §4).
+# A single int ("8") selects a uniform window for A/B runs.
+_wspec = os.environ.get("BENCH_WINDOW", "8,6,4")
 WINDOW = (
     int(_wspec)
     if "," not in _wspec
@@ -131,7 +133,7 @@ rng = np.random.RandomState(0)
 value = jnp.asarray(rng.randn(1, s, 2, 8), jnp.float32)
 locs = jnp.asarray(rng.rand(1, s, 2, 3, 4, 2), jnp.float32)
 wgts = jnp.asarray(rng.rand(1, s, 2, 3, 4), jnp.float32)
-_ws = __import__("os").environ.get("BENCH_WINDOW", "8")
+_ws = __import__("os").environ.get("BENCH_WINDOW", "8,6,4")
 _win = int(_ws) if "," not in _ws else tuple(int(x) for x in _ws.split(","))
 out = jax.jit(
     lambda v, l, w: windowed_ms_deform_attn_pallas(

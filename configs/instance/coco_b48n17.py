@@ -27,16 +27,19 @@ model = dict(
     pred_emb_norm=False,
     vocab_size=30522,
     max_caption_len=35,
-    # TPU-first: 8-cell deformable sampling window (offsets clamped to
-    # +-3 cells; see models/deformable.py docstring), fused Pallas kernels
-    # with custom-VJP backward. Chosen on HELD-OUT evidence (PERF.md
-    # round 9, 512^2 occluding scenes, eval on 16 unseen images): W=4
-    # clamps offsets to 1 cell — below the reference compass init's
-    # 4-cell reach — and lags exact-unclamped by ~2x heldout mAP
-    # (0.128 vs 0.236), while W=8 (0.201) is within the harness's
-    # ~+-0.04 run noise of exact and also trains fastest there.
-    # deform_window=4/6 remain supported for speed-first A/B runs.
-    deform_window=8,
+    # TPU-first: per-value-level deformable sampling windows (offsets
+    # clamped to +-(W_l/2-1) cells of the sampled level; see
+    # models/deformable.py docstring), fused Pallas kernels with
+    # custom-VJP backward. (8, 6, 4) over value strides (8, 16, 32)
+    # keeps a CONSTANT ~24-48 px clamp reach across levels with 116
+    # dense cells instead of 192. Chosen on 3-SEED HELD-OUT evidence
+    # (ACCURACY.md §4, 512^2 occluding scenes, 16 unseen images):
+    # exact-unclamped 0.213+-0.033 segm mAP, W=(8,6,4) 0.203+-0.040,
+    # W=8 0.199+-0.013 — both windowed impls within 1 sd of exact,
+    # mixed windows 1.23x faster end-to-end (PERF.md round 12:
+    # 36.3 vs 29.5 img/s/chip). A single int (deform_window=8) and
+    # 4/6 remain supported for A/B runs.
+    deform_window=(8, 6, 4),
     attn_impl="windowed_pallas",
     # rematerialize encoder layers in the backward pass: the 6-layer
     # deformable encoder's activations dominate training HBM at 1024^2
@@ -59,6 +62,12 @@ criterion = dict(
     use_class_emb=True,
     use_caption=True,
     use_caption_generation=True,
+    # use_caption_align=True adds the reference's off-by-default
+    # LOCAL-batch query<->caption-noun alignment loss
+    # (mask2former_head.py:583-589; losses/criterion.py pins its math
+    # to the grounding InfoNCE at this temperature). The matching
+    # optimizer knobs freeze_pretrained / freeze_v2l live in the
+    # optimizer dict (mask2former_head.py:242-247).
     # GT point targets sampled from an exact bilinear 4x downsample of
     # the GT masks (the mask-logit stride) instead of the reference's
     # full-res sampling (mask2former_head.py:609-613): the k=1 einsums

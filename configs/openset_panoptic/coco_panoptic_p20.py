@@ -23,10 +23,10 @@ model = dict(
     frozen_backbone_stages=3,
     use_class_emb=True,
     use_caption_generation=True,
-    # TPU-first: 8-cell deformable sampling window chosen on the
-    # held-out window-study evidence (PERF.md round 9); see
-    # models/deformable.py and coco_b48n17.py
-    deform_window=8,
+    # TPU-first: per-value-level (8, 6, 4) deformable sampling windows
+    # chosen on the 3-seed held-out window-study evidence (ACCURACY.md
+    # §4, round 5); see models/deformable.py and coco_b48n17.py
+    deform_window=(8, 6, 4),
     attn_impl="windowed_pallas",
     remat=True,  # see coco_b48n17.py
 )
