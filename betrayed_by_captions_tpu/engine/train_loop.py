@@ -134,6 +134,13 @@ def train(cfg: Config, work_dir: str, resume: bool = False):
     tx, schedule = build_optimizer(params, opt_cfg)
     state = create_train_state(params, tx)
 
+    # the train state owns the params from here on; drop the init-tree
+    # reference so a RESUMED run does not pin the (replaced) freshly-
+    # initialized tree in HBM for the whole run (round-5 mini-soak: a
+    # flat per-leg live-buffer series with a +179 MB level shift on the
+    # restarted leg — exactly this tree)
+    del params
+
     ckpt_dir = os.path.join(work_dir, "checkpoints")
     start_epoch = 0
     if resume and latest_step(ckpt_dir) is not None:
@@ -162,6 +169,11 @@ def train(cfg: Config, work_dir: str, resume: bool = False):
     max_epochs = cfg.get("max_epochs", 12)
     global_step = start_epoch * len(loader)
     best_score = float("-inf")
+    # leg boundary marker: each (re)start's first steps pay restore +
+    # compile + cache fill; analyses exclude per-leg warmup by these
+    logger.log_event(
+        {"event": "train_start", "start_epoch": int(start_epoch)}
+    )
 
     with mesh:
         for epoch in range(start_epoch, max_epochs):

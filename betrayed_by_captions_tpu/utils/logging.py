@@ -47,6 +47,15 @@ class MetricLogger:
         self._data_time = 0.0
         self._step_time = 0.0
 
+    def log_event(self, record: Dict[str, object]):
+        """Append an event record (e.g. {'event': 'train_start'}) to
+        metrics.jsonl: multi-leg analyses need leg boundaries to
+        exclude each leg's restore/compile warmup, not just the file
+        head (tools/soak_train.analyze_soak)."""
+        if self._file is not None:
+            self._file.write(json.dumps(record) + "\n")
+            self._file.flush()
+
     def data_tick(self):
         """Call right after the batch is produced (measures data_time)."""
         now = time.perf_counter()

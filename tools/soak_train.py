@@ -171,14 +171,28 @@ def analyze_soak(out_dir, batch, wall=0.0, stats=None):
 
     stats = stats or {}
     losses, times, dtimes = [], [], []
+    # per-LEG warmup exclusion: each (re)start's first steps pay
+    # restore + compile + cache refill (round-5 mini-soak: 224-510 s
+    # restart steps vs a 42 s steady state); train_loop writes a
+    # train_start event at every leg boundary, and the first
+    # WARMUP_STEPS after each are excluded from the stability stats —
+    # the old file-head-only exclusion misread restart cost as jitter.
+    WARMUP_STEPS = 3
+    warm_left = WARMUP_STEPS  # the file head is leg 0's start
     with open(os.path.join(out_dir, "metrics.jsonl")) as f:
         for line in f:
             rec = json.loads(line)
+            if rec.get("event") == "train_start":
+                warm_left = WARMUP_STEPS
+                continue
             if "loss" in rec:
                 losses.append(float(rec["loss"]))
             if "time" in rec:  # per-step synced wall time (log_interval=1)
-                times.append(float(rec["time"]))
-            if "data_time" in rec:
+                if warm_left > 0:
+                    warm_left -= 1
+                else:
+                    times.append(float(rec["time"]))
+            if "data_time" in rec and warm_left == 0:
                 dtimes.append(float(rec["data_time"]))
 
     # HBM creep: steady-state bytes_in_use must not grow epoch over epoch.
@@ -204,11 +218,11 @@ def analyze_soak(out_dir, batch, wall=0.0, stats=None):
         elif len(recs) >= 5:
             hbm_dead = True
 
-    # exclude the first 3 steps (compile + warmup) from stability stats
-    steady = sorted(times[3:]) if len(times) > 10 else sorted(times)
+    # per-leg warmup is already excluded above
+    steady = sorted(times)
     p50 = steady[len(steady) // 2] if steady else float("nan")
     p90 = steady[int(len(steady) * 0.9)] if steady else float("nan")
-    dsteady = sorted(dtimes[3:]) if len(dtimes) > 10 else sorted(dtimes)
+    dsteady = sorted(dtimes)
     d50 = dsteady[len(dsteady) // 2] if dsteady else None
     d90 = dsteady[int(len(dsteady) * 0.9)] if dsteady else None
     first = float(np.mean(losses[:5])) if losses else float("nan")
